@@ -1,0 +1,152 @@
+"""Text-analysis column functions for the training-data pipeline layer:
+token counting, language ID, quality scoring, document fingerprinting.
+
+All JVM-side column expressions (split / higher-order array functions /
+hashes) — these run inside whole-stage codegen over 100 TB of text; a Python
+UDF here would dominate the job cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+# Whitespace tokenization used consistently across the engine. The pattern is
+# kept trivially portable so the DuckDB oracle can reproduce it exactly.
+_WS = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens as an array (empty array for blank/empty text)."""
+    trimmed = F.trim(F.coalesce(col, F.lit("")))
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, _WS)
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (long)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-flavored token estimate: split on word/number/punct boundaries like
+    a byte-pair pretokenizer would (GPT-2-style pretoken regex, simplified to
+    Java regex): runs of letters, runs of digits, single punctuation."""
+    trimmed = F.trim(F.coalesce(col, F.lit("")))
+    arr = F.split(trimmed, r"(?<=\p{L})(?=[^\p{L}])|(?<=[^\p{L}\s])(?=\p{L})|\s+|(?<=\p{Punct})(?=\p{Punct})")
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.filter(arr, lambda x: x != ""))
+    ).cast("long")
+
+
+# --- language id -----------------------------------------------------------
+# Tiny deterministic stopword profiles. Real deployments swap in fastText via
+# a pandas UDF; the engine-side contract (score per language, argmax, 'und'
+# fallback) stays the same.
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "you", "that", "it", "for"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "une", "dans", "que"],
+    "es": ["el", "la", "los", "de", "y", "es", "una", "en", "que", "por"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "auf"],
+}
+
+
+def _lang_score(words: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.transform(words, F.lower), sw))
+
+
+def language_id(col: Column, min_hits: int = 1) -> Column:
+    """Stopword-overlap language ID → 2-letter code or 'und'.
+
+    Distinct-stopword overlap per language, argmax, tie-broken by code order;
+    'und' when no language reaches ``min_hits``.
+    """
+    words = tokens(col)
+    scored = F.array(
+        *[
+            F.struct(_lang_score(words, lang).alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(_STOPWORDS)
+        ]
+    )
+    # array_max on struct compares field-by-field: score first, then lang —
+    # ties resolve to the lexicographically largest code; invert lang order
+    # trickery avoided by sorting descending on (score, -ord) being overkill:
+    # deterministic is what matters for the golden tests.
+    best = F.array_max(scored)
+    return F.when(best["score"] >= min_hits, best["lang"]).otherwise(F.lit("und"))
+
+
+# --- quality scoring -------------------------------------------------------
+def quality_features(col: Column) -> Column:
+    """Struct of cheap quality signals: n_chars, n_tokens, mean token length,
+    punctuation ratio, stopword ratio, uppercase ratio, digit ratio."""
+    s = F.coalesce(col, F.lit(""))
+    n_chars = F.length(s)
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    all_sw = F.array(*[F.lit(w) for ws in _STOPWORDS.values() for w in ws])
+    n_sw = F.size(F.array_intersect(F.transform(toks, F.lower), all_sw))
+    n_punct = n_chars - F.length(F.regexp_replace(s, r"\p{Punct}", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(s, r"\p{Lu}", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(s, r"[0-9]", ""))
+    safe = F.greatest(n_chars, F.lit(1)).cast("double")
+    return F.struct(
+        n_chars.cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.when(n_tok > 0, (n_chars.cast("double") / n_tok)).otherwise(F.lit(0.0)).alias("mean_token_len"),
+        (n_punct / safe).alias("punct_ratio"),
+        F.when(n_tok > 0, n_sw.cast("double") / n_tok).otherwise(F.lit(0.0)).alias("stopword_ratio"),
+        (n_upper / safe).alias("upper_ratio"),
+        (n_digit / safe).alias("digit_ratio"),
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Scalar quality score in [0,1]: rewards mid-length documents with low
+    punctuation/uppercase noise and some stopword mass (prose-likeness)."""
+    f = quality_features(col)
+    length_term = F.least(f["n_tokens"].cast("double") / F.lit(20.0), F.lit(1.0))
+    noise_term = F.greatest(
+        F.lit(0.0), F.lit(1.0) - f["punct_ratio"] * 2 - f["upper_ratio"]
+    )
+    prose_term = F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+    return F.round((length_term * 0.4 + noise_term * 0.4 + prose_term * 0.2), 6)
+
+
+# --- fingerprinting --------------------------------------------------------
+def normalized(col: Column) -> Column:
+    """Canonical text form for content identity: lowercase, punctuation
+    stripped, whitespace collapsed."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"[^\p{L}\p{N}\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+
+
+def fingerprint64(col: Column) -> Column:
+    """Stable 64-bit document fingerprint over the normalized text (exact-dup
+    key; the reference's content-hash surrogate-key pattern,
+    transform/asset.go:72-77)."""
+    return F.xxhash64(normalized(col))
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles of the normalized text as an array<string>; documents
+    shorter than k words yield a single shingle of the whole text."""
+    words = F.split(normalized(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n <= k, F.array(F.array_join(words, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+    )
+
+
+def rolling_hashes(col: Column, k: int = 3) -> Column:
+    """64-bit hash per k-shingle (array<long>) — the rolling-hash document
+    signature used by minhash/jaccard dedup."""
+    return F.transform(shingles(col, k), F.xxhash64)

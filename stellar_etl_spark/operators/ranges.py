@@ -1,0 +1,43 @@
+"""§3.3: time → range utility — the ``get_ledger_range_from_times`` analog
+(``cmd/get_ledger_range_from_times.go:27-95``,
+``internal/input/ledger_range.go:18-113``).
+
+The reference binary-searches close-times over a remote datastore with
+memoized probes; with a columnar table the same answer is one aggregation —
+min/max over the time-filtered scan, where parquet row-group stats / partition
+pruning do the "binary search" for free. Clamping semantics preserved: the
+requested window clamps to the available data range; an empty intersection
+returns the closest boundary rows (the reference clamps rather than errors,
+``ledger_range.go:72-81``).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def time_range(df: DataFrame, start: str | dt.datetime, end: str | dt.datetime) -> DataFrame:
+    """One-row DataFrame {start_ts, end_ts, start_turn_id, end_turn_id,
+    n_turns} for turns with ``start <= ts <= end`` after clamping to the
+    table's own [min_ts, max_ts] (ledger_range.go:72-81 semantics)."""
+    bounds = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    start_c = F.greatest(F.lit(start).cast("timestamp"), F.col("lo"))
+    end_c = F.least(F.lit(end).cast("timestamp"), F.col("hi"))
+    clamped = bounds.select(start_c.alias("start_req"), end_c.alias("end_req"))
+
+    filtered = df.join(F.broadcast(clamped)).where(
+        F.col("ts").between(F.col("start_req"), F.col("end_req"))
+    )
+    from stellar_etl_spark import toid as toid_mod
+
+    tid = toid_mod.toid(toid_mod.conv_seq("conv_id"), "turn_idx")
+    return filtered.agg(
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.min(tid).alias("start_turn_id"),
+        F.max(tid).alias("end_turn_id"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )

@@ -1,0 +1,92 @@
+"""T4: sub-turn unit extraction — the TransformOperation analog
+(``internal/transform/operation.go:30-101`` + the 27-way details switch at
+``operation.go:584-1184``).
+
+A turn explodes into ordered sub-turn units (the reference's tx → operations):
+
+- ``tool`` turns produce one ``tool_call`` unit carrying the tool name and an
+  args fingerprint in its details map;
+- all other roles produce one ``span`` unit per ``span_tokens`` whitespace
+  tokens (an empty text still yields one empty unit, matching the reference's
+  ≥1-op-per-tx shape).
+
+The explode is pure Column work: ``sequence`` + ``posexplode`` + ``slice`` —
+no Python, no shuffle (narrow transform), codegen throughout. The details map
+is the per-type ``create_map`` switch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from stellar_etl_spark import toid as toid_mod
+from stellar_etl_spark.functions import text as textfn
+from stellar_etl_spark.functions.scalars import sha256_hex
+
+UNIT_TYPE_CODES = {"span": 0, "tool_call": 1}
+
+
+def extract_units(
+    df: DataFrame, span_tokens: int = 8, conv_seq: Column | None = None
+) -> DataFrame:
+    """Explode transcripts into the UNITS output schema."""
+    seq = conv_seq if conv_seq is not None else toid_mod.conv_seq("conv_id")
+    toks = textfn.tokens(F.col("text"))
+    is_tool = F.col("role") == "tool"
+
+    n_units = F.when(is_tool, F.lit(1)).otherwise(
+        F.greatest(F.ceil(F.size(toks) / F.lit(span_tokens)), F.lit(1)).cast("int")
+    )
+
+    base = df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        seq.alias("conv_seq"),
+        toks.alias("toks"),
+        is_tool.alias("is_tool"),
+        F.posexplode(F.sequence(F.lit(0), n_units - 1)).alias("unit_idx", "_unit_n"),
+    )
+
+    payload = F.when(
+        F.col("is_tool"), F.array_join(F.col("toks"), " ")
+    ).otherwise(
+        F.array_join(
+            F.slice(F.col("toks"), F.col("unit_idx") * span_tokens + 1, span_tokens), " "
+        )
+    )
+
+    unit_type = F.when(F.col("is_tool"), F.lit("tool_call")).otherwise(F.lit("span"))
+
+    # The per-type details switch (operation.go:584-1184): map keys depend on
+    # the unit type, exactly like the reference's op-type-specific details.
+    details = F.when(
+        F.col("is_tool"),
+        F.create_map(
+            F.lit("tool"), F.coalesce(F.col("tool"), F.lit("")),
+            F.lit("args_sha256"), sha256_hex(payload),
+            F.lit("failed"), F.coalesce(F.startswith(payload, F.lit("error:")), F.lit(False)).cast("string"),
+        ),
+    ).otherwise(
+        F.create_map(
+            F.lit("span_tokens"), F.size(F.split(payload, r"\s+")).cast("string"),
+            F.lit("span_chars"), F.length(payload).cast("string"),
+        )
+    )
+
+    turn_id = toid_mod.toid(F.col("conv_seq"), "turn_idx")
+    return base.select(
+        toid_mod.toid(F.col("conv_seq"), "turn_idx", F.col("unit_idx")).alias("unit_id"),
+        turn_id.alias("turn_id"),
+        "conv_id",
+        "turn_idx",
+        F.col("unit_idx").cast("int").alias("unit_idx"),
+        unit_type.alias("unit_type"),
+        F.when(F.col("is_tool"), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("unit_type_code"),
+        payload.alias("payload"),
+        details.alias("details"),
+        "ts",
+    )
