@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus; dot products via ``zip_with`` + ``aggregate``
+  (JVM-side, no Python). The corpus is scanned once; per-row work is O(d).
+- :func:`lsh_topk` — the scale path: random-hyperplane signatures bucket the
+  corpus so each query probes only its bucket (plus multi-probe neighbors).
+  Hyperplanes are deterministic (seeded hash), so results are replayable.
+
+At 100 TB the brute-force variant is the *verification* tool (exact answers on
+a sample); LSH is the production path — the bucket join shuffles (bucket_key,
+vec_id, vec) once, and AQE handles bucket skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+_EPS = 1e-12
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<double> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b) + F.lit(_EPS))
+
+
+def as_double_array(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` must be small (broadcast); corpus is scanned once. Ties break
+    on neighbor id for deterministic, replayable output."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cvec")
+    )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def hyperplane_signature(vec: Column, dim: int, bits: int = 16, seed: int = 42) -> Column:
+    """Random-hyperplane LSH signature: bit b = sign(<v, h_b>) where h_b is a
+    deterministic pseudo-random ±1 hyperplane derived from (seed, b, i).
+    Pure column ops; the 'planes' never materialize."""
+    signs = lambda b: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(F.pmod(F.xxhash64(F.lit(seed), b, i), F.lit(2)) == 0, F.lit(1.0)).otherwise(
+            F.lit(-1.0)
+        ),
+    )
+    bit = lambda b: F.when(_dot(vec, signs(b)) > 0, F.shiftleft(F.lit(1).cast("long"), b.cast("int"))).otherwise(  # noqa: E731
+        F.lit(0).cast("long")
+    )
+    bits_arr = F.transform(F.sequence(F.lit(0), F.lit(bits - 1)), bit)
+    return F.aggregate(bits_arr, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: join query and corpus on the LSH bucket, rank within
+    bucket. Recall grows with fewer bits (bigger buckets); production would
+    multi-probe — here single-probe keeps the plan to one equi-join."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cvec")
+    ).withColumn("bucket", hyperplane_signature(F.col("cvec"), dim, bits, seed))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qvec")
+    ).withColumn("bucket", hyperplane_signature(F.col("qvec"), dim, bits, seed))
+    scored = c.join(F.broadcast(q), "bucket").where(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )

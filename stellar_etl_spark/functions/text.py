@@ -88,7 +88,9 @@ def quality_features(col: Column) -> Column:
     n_tok = F.size(toks)
     all_sw = F.array(*[F.lit(w) for ws in _STOPWORDS.values() for w in ws])
     n_sw = F.size(F.array_intersect(F.transform(toks, F.lower), all_sw))
-    n_punct = n_chars - F.length(F.regexp_replace(s, r"\p{Punct}", ""))
+    # Explicit ASCII punctuation class (not \p{Punct}) so the DuckDB oracle's
+    # RE2 engine matches Java regex semantics byte-for-byte.
+    n_punct = n_chars - F.length(F.regexp_replace(s, "[!-/:-@\\[-`{-~]", ""))
     n_upper = n_chars - F.length(F.regexp_replace(s, r"\p{Lu}", ""))
     n_digit = n_chars - F.length(F.regexp_replace(s, r"[0-9]", ""))
     safe = F.greatest(n_chars, F.lit(1)).cast("double")

@@ -36,12 +36,20 @@ def _aggs() -> list[Column]:
 
 
 def extract_conversations(df: DataFrame, conv_seq: Column | None = None) -> DataFrame:
-    """Batch conversation summaries, one row per conv_id."""
+    """Batch conversation summaries, one row per conv_id.
+
+    ``conv_seq`` is functionally dependent on ``conv_id``, so grouping by both
+    is free (no extra shuffle width) and lets callers pass any per-conversation
+    sequence column."""
     seq = conv_seq if conv_seq is not None else toid_mod.conv_seq("conv_id")
-    out = df.groupBy("conv_id").agg(*_aggs())
+    out = (
+        df.withColumn("_conv_seq", seq)
+        .groupBy("conv_id", "_conv_seq")
+        .agg(*_aggs())
+    )
     return out.select(
         "conv_id",
-        seq.alias("conv_seq"),
+        F.col("_conv_seq").alias("conv_seq"),
         "n_turns",
         "n_user",
         "n_assistant",

@@ -1,0 +1,604 @@
+"""Query registry — the analog of the reference's 11 CLI export commands
+(``cmd/export_*.go``), each entry binding a Spark dataflow to the DuckDB
+oracle SQL the driver uses for correctness checking.
+
+Every entry: name → (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Column names/aliases are kept identical on both sides (the driver's compare
+sorts columns by name before value-hashing).
+
+Cross-engine parity rules used throughout:
+
+- conv_seq is ``user_id`` (SQL-reproducible), not the engine's default
+  xxhash64 — extractors take it as an override column;
+- epoch seconds via floor() on both sides (Spark ``unix_timestamp`` floors);
+- exact money sums via DECIMAL then cast to double (bit-exact in IEEE754 —
+  double-sum association order differs between engines, decimal does not);
+- regex classes restricted to the Java∩RE2 common subset.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from stellar_etl_spark.functions import text as textfn
+from stellar_etl_spark.functions.similarity import cosine_topk
+from stellar_etl_spark.operators import (
+    compact_last_state,
+    extract_conversations,
+    extract_effects,
+    extract_pairs,
+    extract_sessions,
+    extract_star_schema,
+    extract_turns,
+    extract_units,
+    first_seen_dedup,
+    time_range,
+)
+from stellar_etl_spark.operators.conversations import extract_conversations_windowed
+from stellar_etl_spark.operators.dims import denormalize
+from stellar_etl_spark.plans.transcript_view import TRANSCRIPTS_CTE, transcripts_from_events
+from stellar_etl_spark.sources.batches import with_batch_bounds
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+def _seq():
+    # lazy: F.col needs an active session in classic mode
+    return F.col("conv_seq")
+
+# Reusable DuckDB fragments mirroring the engine's column functions.
+_SQL_NTOK = (
+    "CAST(CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
+)
+_SQL_TURN_ID = "(conv_seq << 32) | (CAST(turn_idx & 1048575 AS BIGINT) << 12)"
+_SQL_SUCCESSFUL = "NOT starts_with(coalesce(text,''), 'error:')"
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(coalesce(text,'')), "
+    "'[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+# --- T2 turns ---------------------------------------------------------------
+def q_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_turns(transcripts_from_events(spark, sf_dir), conv_seq=_seq())
+
+
+SQL_TURNS = f"""{TRANSCRIPTS_CTE}
+SELECT
+  {_SQL_TURN_ID} AS turn_id,
+  conv_id,
+  conv_seq,
+  turn_idx,
+  role,
+  CAST(CASE role WHEN 'user' THEN 0 WHEN 'assistant' THEN 1
+                 WHEN 'tool' THEN 2 WHEN 'system' THEN 3 ELSE -1 END AS INTEGER) AS role_code,
+  tool,
+  text,
+  sha256(coalesce(text, '')) AS text_sha256,
+  base64(encode(text)) AS text_b64,
+  CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+  {_SQL_NTOK} AS n_tokens,
+  {_SQL_SUCCESSFUL} AS successful,
+  ts,
+  printf('[%d,%d)', CAST(floor(epoch(ts)) AS BIGINT), CAST(floor(epoch(ts)) AS BIGINT) + 1) AS ts_interval
+FROM transcripts
+"""
+
+
+# --- T1/A1 conversations ----------------------------------------------------
+def q_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_conversations(transcripts_from_events(spark, sf_dir), conv_seq=_seq())
+
+
+SQL_CONVERSATIONS = f"""{TRANSCRIPTS_CTE}
+SELECT
+  conv_id,
+  conv_seq,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(count(*) FILTER (WHERE role = 'user') AS BIGINT) AS n_user,
+  CAST(count(*) FILTER (WHERE role = 'assistant') AS BIGINT) AS n_assistant,
+  CAST(count(*) FILTER (WHERE role = 'tool') AS BIGINT) AS n_tool,
+  CAST(count(*) FILTER (WHERE role = 'system') AS BIGINT) AS n_system,
+  CAST(count(*) FILTER (WHERE {_SQL_SUCCESSFUL}) AS BIGINT) AS n_successful,
+  CAST(count(*) FILTER (WHERE NOT ({_SQL_SUCCESSFUL})) AS BIGINT) AS n_failed,
+  CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
+  CAST(sum({_SQL_NTOK}) AS BIGINT) AS total_tokens,
+  min(ts) AS opened_at,
+  max(ts) AS closed_at,
+  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS DOUBLE) AS duration_sec
+FROM transcripts
+GROUP BY conv_id, conv_seq
+"""
+
+
+# --- S4 tumbling-window conversations --------------------------------------
+def q_conversations_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_conversations_windowed(transcripts_from_events(spark, sf_dir), "5 minutes")
+
+
+SQL_CONVERSATIONS_WINDOWED = f"""{TRANSCRIPTS_CTE}
+SELECT
+  make_timestamp(CAST(floor(epoch(ts) / 300) * 300 * 1000000 AS BIGINT)) AS window_start,
+  make_timestamp(CAST((floor(epoch(ts) / 300) * 300 + 300) * 1000000 AS BIGINT)) AS window_end,
+  conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(count(*) FILTER (WHERE role = 'user') AS BIGINT) AS n_user,
+  CAST(count(*) FILTER (WHERE role = 'assistant') AS BIGINT) AS n_assistant,
+  CAST(count(*) FILTER (WHERE role = 'tool') AS BIGINT) AS n_tool,
+  CAST(count(*) FILTER (WHERE role = 'system') AS BIGINT) AS n_system,
+  CAST(count(*) FILTER (WHERE {_SQL_SUCCESSFUL}) AS BIGINT) AS n_successful,
+  CAST(count(*) FILTER (WHERE NOT ({_SQL_SUCCESSFUL})) AS BIGINT) AS n_failed,
+  CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
+  CAST(sum({_SQL_NTOK}) AS BIGINT) AS total_tokens,
+  min(ts) AS opened_at,
+  max(ts) AS closed_at
+FROM transcripts
+GROUP BY 1, 2, 3
+"""
+
+
+# --- T4 units ---------------------------------------------------------------
+_UNIT_COLS = [
+    "unit_id", "turn_id", "conv_id", "turn_idx", "unit_idx",
+    "unit_type", "unit_type_code", "payload", "ts",
+]
+
+
+def q_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # details map excluded here: map columns don't hash portably across
+    # engines; tests cover the map contents directly.
+    return extract_units(transcripts_from_events(spark, sf_dir), conv_seq=_seq()).select(*_UNIT_COLS)
+
+
+SQL_UNITS = f"""{TRANSCRIPTS_CTE},
+base AS (
+  SELECT *,
+    CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+    (role = 'tool') AS is_tool
+  FROM transcripts
+),
+expl AS (
+  SELECT *,
+    CAST(unnest(range(0, CASE WHEN is_tool THEN 1
+      ELSE greatest(CAST(ceil(len(toks) / 8.0) AS INTEGER), 1) END)) AS INTEGER) AS unit_idx
+  FROM base
+)
+SELECT
+  {_SQL_TURN_ID} | CAST(unit_idx & 4095 AS BIGINT) AS unit_id,
+  {_SQL_TURN_ID} AS turn_id,
+  conv_id,
+  turn_idx,
+  unit_idx,
+  CASE WHEN is_tool THEN 'tool_call' ELSE 'span' END AS unit_type,
+  CAST(CASE WHEN is_tool THEN 1 ELSE 0 END AS INTEGER) AS unit_type_code,
+  CASE WHEN is_tool THEN array_to_string(toks, ' ')
+       ELSE array_to_string(toks[unit_idx * 8 + 1 : unit_idx * 8 + 8], ' ') END AS payload,
+  ts
+FROM expl
+"""
+
+
+# --- T5 effects -------------------------------------------------------------
+_EFFECT_COLS = [
+    "effect_id", "turn_id", "conv_id", "turn_idx", "effect_index",
+    "effect_type", "effect_type_string", "ts",
+]
+
+
+def q_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_effects(transcripts_from_events(spark, sf_dir), conv_seq=_seq()).select(*_EFFECT_COLS)
+
+
+SQL_EFFECTS = f"""{TRANSCRIPTS_CTE},
+base AS (
+  SELECT conv_id, turn_idx, ts,
+    {_SQL_TURN_ID} AS turn_id,
+    (role = 'tool') AS e1,
+    (coalesce(text, '') = '') AS e2,
+    ({_SQL_NTOK} > 30) AS e3,
+    (turn_idx = 0) AS e4,
+    role, tool,
+    {_SQL_NTOK} AS ntok
+  FROM transcripts
+  WHERE {_SQL_SUCCESSFUL}
+),
+fired AS (
+  SELECT *, 0 AS effect_type, 'turn_added' AS effect_type_string, 0 AS effect_index FROM base
+  UNION ALL
+  SELECT *, 1, 'tool_invoked', 1 FROM base WHERE e1
+  UNION ALL
+  SELECT *, 2, 'empty_text', 1 + CAST(e1 AS INTEGER) FROM base WHERE e2
+  UNION ALL
+  SELECT *, 3, 'long_turn', 1 + CAST(e1 AS INTEGER) + CAST(e2 AS INTEGER) FROM base WHERE e3
+  UNION ALL
+  SELECT *, 4, 'conversation_opened',
+         1 + CAST(e1 AS INTEGER) + CAST(e2 AS INTEGER) + CAST(e3 AS INTEGER) FROM base WHERE e4
+)
+SELECT
+  printf('%d-%d', turn_id, effect_index) AS effect_id,
+  turn_id,
+  conv_id,
+  turn_idx,
+  CAST(effect_index AS INTEGER) AS effect_index,
+  CAST(effect_type AS INTEGER) AS effect_type,
+  effect_type_string,
+  ts
+FROM fired
+"""
+
+
+# --- J2 pairs ---------------------------------------------------------------
+def q_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_pairs(transcripts_from_events(spark, sf_dir))
+
+
+SQL_PAIRS = f"""{TRANSCRIPTS_CTE},
+win AS (
+  SELECT *,
+    first_value(CASE WHEN role IN ('assistant','tool') THEN turn_idx END IGNORE NULLS)
+      OVER w AS resp_turn_idx,
+    first_value(CASE WHEN role IN ('assistant','tool') THEN role END IGNORE NULLS)
+      OVER w AS resp_role,
+    first_value(CASE WHEN role IN ('assistant','tool') THEN ts END IGNORE NULLS)
+      OVER w AS resp_ts,
+    first_value(CASE WHEN role IN ('assistant','tool') THEN text END IGNORE NULLS)
+      OVER w AS resp_text
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT
+  conv_id,
+  turn_idx AS user_turn_idx,
+  ts AS user_ts,
+  text AS user_text,
+  resp_turn_idx,
+  resp_role,
+  resp_ts,
+  resp_text,
+  CAST(floor(epoch(resp_ts)) - floor(epoch(ts)) AS DOUBLE) AS latency_sec
+FROM win
+WHERE role = 'user'
+"""
+
+
+# --- sessions ---------------------------------------------------------------
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_sessions(transcripts_from_events(spark, sf_dir), gap_sec=1800)
+
+
+SQL_SESSIONS = f"""{TRANSCRIPTS_CTE},
+flagged AS (
+  SELECT *,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+numbered AS (
+  SELECT *,
+    sum(new_session) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT
+  conv_id,
+  min(ts) AS session_start,
+  max(ts) AS session_end,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(count(*) FILTER (WHERE role = 'user') AS BIGINT) AS n_user,
+  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS DOUBLE) AS duration_sec
+FROM numbered
+GROUP BY conv_id, session_seq
+"""
+
+
+# --- A2 / A4 dedup ----------------------------------------------------------
+_T_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def q_first_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return first_seen_dedup(transcripts_from_events(spark, sf_dir), ["conv_id"]).select(*_T_COLS)
+
+
+SQL_FIRST_TURNS = f"""{TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM transcripts
+QUALIFY row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) = 1
+"""
+
+
+def q_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compact_last_state(transcripts_from_events(spark, sf_dir), ["conv_id"]).select(*_T_COLS)
+
+
+SQL_LAST_STATE = f"""{TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM transcripts
+QUALIFY row_number() OVER (PARTITION BY conv_id ORDER BY ts DESC, turn_idx DESC) = 1
+"""
+
+
+# --- T12/J7 star schema round-trip -----------------------------------------
+def q_star_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    star = extract_star_schema(transcripts_from_events(spark, sf_dir))
+    return denormalize(star).select("conv_id", "role", "tool", "n_chars", "ts")
+
+
+SQL_STAR_DENORM = f"""{TRANSCRIPTS_CTE}
+SELECT conv_id, role, tool, CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars, ts
+FROM transcripts
+"""
+
+
+# --- §3.3 time range --------------------------------------------------------
+_RANGE_LO, _RANGE_HI = "2024-01-05 00:00:00", "2024-01-20 00:00:00"
+
+
+def q_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return time_range(
+        transcripts_from_events(spark, sf_dir), _RANGE_LO, _RANGE_HI
+    ).select("start_ts", "end_ts", "n_turns")
+
+
+SQL_TIME_RANGE = f"""{TRANSCRIPTS_CTE}
+SELECT min(ts) AS start_ts, max(ts) AS end_ts, CAST(count(*) AS BIGINT) AS n_turns
+FROM transcripts
+WHERE ts BETWEEN greatest(TIMESTAMP '{_RANGE_LO}', (SELECT min(ts) FROM transcripts))
+             AND least(TIMESTAMP '{_RANGE_HI}', (SELECT max(ts) FROM transcripts))
+"""
+
+
+# --- S4/C20 sequence batching ----------------------------------------------
+def q_batch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tv = with_batch_bounds(transcripts_from_events(spark, sf_dir), batch_size=64)
+    return tv.groupBy("conv_id", "batch_start", "batch_end", "batch_label").agg(
+        F.count(F.lit(1)).alias("n_turns")
+    )
+
+
+SQL_BATCH_BOUNDS = f"""{TRANSCRIPTS_CTE}
+SELECT
+  conv_id,
+  CAST(turn_idx - (turn_idx % 64) AS BIGINT) AS batch_start,
+  CAST(turn_idx - (turn_idx % 64) + 63 AS BIGINT) AS batch_end,
+  printf('%d-%d', turn_idx - (turn_idx % 64), turn_idx - (turn_idx % 64) + 63) AS batch_label,
+  CAST(count(*) AS BIGINT) AS n_turns
+FROM transcripts
+GROUP BY 1, 2, 3, 4
+"""
+
+
+# --- documents: token stats -------------------------------------------------
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_chars_calc"),
+        textfn.token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+SQL_DOC_TOKEN_STATS = f"""
+SELECT doc_id, lang,
+  CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_calc,
+  {_SQL_NTOK} AS n_tokens
+FROM documents
+"""
+
+
+# --- documents: language id -------------------------------------------------
+def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", "lang", textfn.language_id(F.col("text")).alias("lang_pred"))
+
+
+def _sql_lang_score(lang: str) -> str:
+    from stellar_etl_spark.functions.text import _STOPWORDS
+
+    words = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return (
+        "len(list_intersect(list_transform(regexp_split_to_array(trim(coalesce(text,'')), '\\s+'), "
+        f"x -> lower(x)), [{words}]))"
+    )
+
+
+SQL_DOC_LANGUAGE_ID = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    list_aggregate([
+      {{'score': {_sql_lang_score('de')}, 'lang': 'de'}},
+      {{'score': {_sql_lang_score('en')}, 'lang': 'en'}},
+      {{'score': {_sql_lang_score('es')}, 'lang': 'es'}},
+      {{'score': {_sql_lang_score('fr')}, 'lang': 'fr'}}
+    ], 'max') AS best
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN best.score >= 1 THEN best.lang ELSE 'und' END AS lang_pred
+FROM scored
+"""
+
+
+# --- documents: quality -----------------------------------------------------
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = textfn.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+        textfn.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _sql_all_stopwords() -> str:
+    from stellar_etl_spark.functions.text import _STOPWORDS
+
+    return ", ".join(f"'{w}'" for ws in _STOPWORDS.values() for w in ws)
+
+
+SQL_DOC_QUALITY = f"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+    {_SQL_NTOK} AS n_tokens,
+    CAST(length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+      / greatest(length(coalesce(text,'')), 1) AS punct_ratio,
+    CAST(length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '\\p{{Lu}}', '', 'g')) AS DOUBLE)
+      / greatest(length(coalesce(text,'')), 1) AS upper_ratio,
+    CASE WHEN {_SQL_NTOK} > 0 THEN
+      CAST(len(list_intersect(list_transform(regexp_split_to_array(trim(coalesce(text,'')), '\\s+'),
+           x -> lower(x)), [{_sql_all_stopwords()}])) AS DOUBLE) / {_SQL_NTOK}
+    ELSE 0.0 END AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(stopword_ratio, 6) AS stopword_ratio,
+  round(
+    least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4
+    + greatest(0.0, 1.0 - punct_ratio * 2 - upper_ratio) * 0.4
+    + least(stopword_ratio * 4, 1.0) * 0.2, 6) AS quality
+FROM f
+"""
+
+
+# --- documents: exact-dup grouping -----------------------------------------
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id", textfn.normalized(F.col("text")).alias("norm"))
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+        .select("canonical_id", "n_docs")
+    )
+
+
+SQL_DOC_EXACT_DEDUP = f"""
+SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY {_SQL_NORM}
+"""
+
+
+# --- embeddings: brute-force cosine top-k ----------------------------------
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, k=10)
+    # sim is recomputed per engine in floating point; rank is the contract.
+    return out.select("query_id", "rank", "neighbor_id")
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+    round(list_dot_product(qv, cv)
+      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) + 1e-12), 6) AS sim
+  FROM c, q
+  WHERE neighbor_id <> query_id
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s
+)
+WHERE rank <= 10
+"""
+
+
+# --- TPC-H-style relational checks -----------------------------------------
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+SQL_TPCH_SEGMENT_REVENUE = """
+SELECT c_mktsegment,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "turns": (q_turns, SQL_TURNS),
+    "conversations": (q_conversations, SQL_CONVERSATIONS),
+    "conversations_windowed": (q_conversations_windowed, SQL_CONVERSATIONS_WINDOWED),
+    "units": (q_units, SQL_UNITS),
+    "effects": (q_effects, SQL_EFFECTS),
+    "pairs": (q_pairs, SQL_PAIRS),
+    "sessions": (q_sessions, SQL_SESSIONS),
+    "first_turns": (q_first_turns, SQL_FIRST_TURNS),
+    "last_state": (q_last_state, SQL_LAST_STATE),
+    "star_denorm": (q_star_denorm, SQL_STAR_DENORM),
+    "time_range": (q_time_range, SQL_TIME_RANGE),
+    "batch_bounds": (q_batch_bounds, SQL_BATCH_BOUNDS),
+    "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
+    "doc_language_id": (q_doc_language_id, SQL_DOC_LANGUAGE_ID),
+    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "tpch_pricing": (q_tpch_pricing, SQL_TPCH_PRICING),
+    "tpch_segment_revenue": (q_tpch_segment_revenue, SQL_TPCH_SEGMENT_REVENUE),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
