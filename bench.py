@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Times every registry query end-to-end at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, forcing full
+materialization through the noop sink (so column pruning can't fake a win),
+then runs the streaming engine benchmark: a deterministic synthetic transcript
+stream through the exactly-once turns export, reporting end-to-end turns/sec
+and mean window-close (trigger) latency.
+
+Extra env knobs:
+  SPARK_GRAFT_CPUS            local parallelism (default 32)
+  SPARK_GRAFT_BENCH_CONVS     synthetic conversations for the streaming bench
+                              (default 20000 ≈ 175k turns)
+  SPARK_GRAFT_SKIP_STREAMING  set to skip the streaming section
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from stellar_etl_spark.session import get_spark
+    from stellar_etl_spark.plans.registry import REGISTRY
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus, streaming=True)
+
+    t0 = time.time()
+    per_query: dict[str, float] = {}
+    if not os.environ.get("SPARK_GRAFT_ONLY_STREAMING"):
+        # warm-up: JVM JIT + codegen + parquet footer caches; not timed
+        _force(spark.range(100000).selectExpr("id", "sha2(cast(id as string), 256) s"))
+        _force(REGISTRY["turns"][0](spark, "/root/testdata/sf0.001"))
+        for name, (fn, _) in REGISTRY.items():
+            start = time.time()
+            _force(fn(spark, sf_dir))
+            per_query[name] = round(time.time() - start, 3)
+
+    result: dict = {
+        "metric": "suite_seconds",
+        "unit": "sec",
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": cpus,
+        "queries": per_query,
+    }
+
+    if not os.environ.get("SPARK_GRAFT_SKIP_STREAMING"):
+        from stellar_etl_spark.generator import transcripts_df, write_transcripts
+        from stellar_etl_spark.operators import extract_turns
+        from stellar_etl_spark.streaming.pipeline import run_export
+        from stellar_etl_spark.streaming.sink import IdempotentSink
+
+        n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+        tmp = tempfile.mkdtemp(prefix="bench_stream_")
+        try:
+            src = os.path.join(tmp, "transcripts")
+            gen0 = time.time()
+            df = transcripts_df(spark, n_convs=n_convs, hot_convs=2, hot_turns=2048)
+            write_transcripts(df, src)
+            n_turns = df.count()
+            gen_sec = time.time() - gen0
+
+            sink = IdempotentSink(os.path.join(tmp, "turns_sink"))
+            s0 = time.time()
+            metrics = run_export(
+                spark,
+                src,
+                extract_turns,
+                sink,
+                os.path.join(tmp, "ckpt"),
+                max_files_per_trigger=8,
+                with_listener=True,
+            )
+            stream_sec = time.time() - s0
+            result["streaming"] = {
+                "n_turns": int(n_turns),
+                "gen_sec": round(gen_sec, 3),
+                "export_sec": round(stream_sec, 3),
+                "turns_per_sec": round(n_turns / stream_sec, 1),
+                "micro_batches": metrics.get("batches"),
+                "mean_trigger_ms": round(
+                    metrics["wall_ms"] / max(metrics.get("batches") or 1, 1), 1
+                )
+                if metrics.get("wall_ms")
+                else None,
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    result["value"] = round(time.time() - t0, 3)
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling benchmark (sandbox proxy for the north rule's
+N vs 4N executor criterion): run the identical streaming export job at
+local[N] and local[4N] on the same synthetic input, report both throughputs
+and the scaling efficiency T(4N) / (4 * T(N)), and write BENCH/BASELINE.md.
+
+Each parallelism level runs in its own subprocess (a JVM can't change its
+local[] master after start), mirroring two separate spark-submit invocations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+CONVS = os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000")
+
+
+def run_level(cpus: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_ONLY_STREAMING="1",
+        SPARK_GRAFT_BENCH_CONVS=CONVS,
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    started = time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime())
+    lo = run_level(N)
+    hi = run_level(4 * N)
+    tl = lo["streaming"]["turns_per_sec"]
+    th = hi["streaming"]["turns_per_sec"]
+    eff = th / (4 * tl)
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_cores": N,
+        "throughput_n": tl,
+        "throughput_4n": th,
+        "n_turns": lo["streaming"]["n_turns"],
+    }
+    print(json.dumps(result))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — measured numbers
+
+Run started {started}; synthetic transcript stream (deterministic seeded
+generator, {lo['streaming']['n_turns']:,} turns incl. two hot conversations),
+end-to-end exactly-once streaming turns export (read parquet stream →
+extract_turns → epoch-keyed idempotent sink + lineage).
+
+## Two-cluster-size scaling (sandbox proxy: local[N] vs local[4N])
+
+| parallelism | turns/sec | export wall (s) | micro-batches | mean trigger (ms) |
+|---|---|---|---|---|
+| local[{N}] | {tl:,.1f} | {lo['streaming']['export_sec']} | {lo['streaming']['micro_batches']} | {lo['streaming']['mean_trigger_ms']} |
+| local[{4*N}] | {th:,.1f} | {hi['streaming']['export_sec']} | {hi['streaming']['micro_batches']} | {hi['streaming']['mean_trigger_ms']} |
+
+**Scaling efficiency T(4N)/(4·T(N)) = {eff:.3f}** (north-rule criterion ≥ 0.8;
+single-machine caveat: both "clusters" share one memory bus and disk, so this
+under-reports what separate executor hosts would deliver).
+
+## Window-close latency
+
+Mean trigger-to-commit latency per micro-batch at local[{4*N}]:
+{hi['streaming']['mean_trigger_ms']} ms.
+"""
+        )
+
+
+if __name__ == "__main__":
+    main()

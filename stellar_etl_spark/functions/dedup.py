@@ -51,25 +51,30 @@ def simhash64(text_col: Column, k: int = 1) -> Column:
     """
     hashes = rolling_hashes(text_col, k)
     zeros = F.array_repeat(F.lit(0), 64)
+    # ±1 vote per bit per shingle; bit positions are Python-literal so the
+    # shift amounts are constants (shiftrightunsigned requires int bits).
     votes = F.aggregate(
         hashes,
         zeros,
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.when(
-                    F.shiftrightunsigned(h, b.cast("int")).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1)),
+            F.array(
+                *[
+                    F.when(
+                        F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    for b in range(64)
+                ]
             ),
             lambda a, v: a + v,
         ),
     )
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda b: F.when(F.element_at(votes, b.cast("int") + 1) > 0,
-                         F.shiftleft(F.lit(1).cast("long"), b.cast("int"))).otherwise(F.lit(0).cast("long")),
+    # bit 63 as a long literal is the sign bit — representable only negative.
+    bit_values = F.array(
+        *[F.lit(1 << b if b < 63 else -(1 << 63)).cast("long") for b in range(64)]
+    )
+    bits = F.zip_with(
+        votes, bit_values, lambda v, bv: F.when(v > 0, bv).otherwise(F.lit(0).cast("long"))
     )
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
 
@@ -152,9 +157,11 @@ def simhash_near_dups(
         "id",
         "sh",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda b: F.shiftrightunsigned(F.col("sh"), (b * 16).cast("int")).bitwiseAND(F.lit(0xFFFF)),
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
             )
         ).alias("block_idx", "block_val"),
     )

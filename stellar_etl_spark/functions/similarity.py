@@ -75,17 +75,22 @@ def hyperplane_signature(vec: Column, dim: int, bits: int = 16, seed: int = 42) 
     """Random-hyperplane LSH signature: bit b = sign(<v, h_b>) where h_b is a
     deterministic pseudo-random ±1 hyperplane derived from (seed, b, i).
     Pure column ops; the 'planes' never materialize."""
-    signs = lambda b: F.transform(  # noqa: E731
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.when(F.pmod(F.xxhash64(F.lit(seed), b, i), F.lit(2)) == 0, F.lit(1.0)).otherwise(
-            F.lit(-1.0)
-        ),
-    )
-    bit = lambda b: F.when(_dot(vec, signs(b)) > 0, F.shiftleft(F.lit(1).cast("long"), b.cast("int"))).otherwise(  # noqa: E731
-        F.lit(0).cast("long")
-    )
-    bits_arr = F.transform(F.sequence(F.lit(0), F.lit(bits - 1)), bit)
-    return F.aggregate(bits_arr, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+    def signs(b: int):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.when(
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(b), i), F.lit(2)) == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out.bitwiseOR(
+            F.when(_dot(vec, signs(b)) > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
 
 
 def lsh_topk(

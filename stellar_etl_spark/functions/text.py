@@ -151,4 +151,4 @@ def shingles(col: Column, k: int = 3) -> Column:
 def rolling_hashes(col: Column, k: int = 3) -> Column:
     """64-bit hash per k-shingle (array<long>) — the rolling-hash document
     signature used by minhash/jaccard dedup."""
-    return F.transform(shingles(col, k), F.xxhash64)
+    return F.transform(shingles(col, k), lambda s: F.xxhash64(s))

@@ -1,0 +1,173 @@
+"""spark-submit entrypoints — the analog of the reference's 11 cobra CLI
+commands (``cmd/export_*.go``), launched as::
+
+    spark-submit --py-files stellar_etl_spark.zip -m ... \
+        jobs.py <command> --source ... --sink ... --checkpoint ...
+
+Commands mirror the reference (README.md command table):
+
+  export_turns           ≈ export_transactions   (T2)
+  export_conversations   ≈ export_ledgers        (T1/A1)
+  export_units           ≈ export_operations     (T4)
+  export_effects         ≈ export_effects        (T5)
+  export_pairs           ≈ export_trades         (J2, stateful)
+  export_sessions        ≈ ledger-close stream   (session windows)
+  export_timeline        ≈ export_contract_events(T20/J6)
+  export_all             ≈ export_all_history    (S12 fan-out)
+  export_changes         ≈ export_ledger_entry_changes (A4 compaction)
+  get_time_range         ≈ get_ledger_range_from_times (§3.3)
+  generate               — synthetic input generator (test fixture)
+
+Each runs either bounded (``--available-now``, default: process the current
+table snapshot then exit, resumable) or unbounded (``--follow``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from stellar_etl_spark.session import get_spark
+
+
+def _common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--source", required=True)
+    p.add_argument("--sink", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--watermark", default="2 minutes")
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--follow", action="store_true", help="unbounded mode")
+    p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--strict-export", action="store_true", default=True)
+    p.add_argument("--lenient", dest="strict_export", action="store_false")
+    p.add_argument("--extra-fields", nargs="*", default=[], metavar="K=V")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="stellar-etl-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    batch_cmds = [
+        "export_turns",
+        "export_conversations",
+        "export_units",
+        "export_effects",
+        "export_pairs",
+        "export_sessions",
+        "export_timeline",
+        "export_changes",
+        "export_all",
+    ]
+    for c in batch_cmds:
+        _common(sub.add_parser(c))
+
+    g = sub.add_parser("generate")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n-convs", type=int, default=1000)
+    g.add_argument("--seed", type=int, default=42)
+
+    tr = sub.add_parser("get_time_range")
+    tr.add_argument("--source", required=True)
+    tr.add_argument("--start", required=True)
+    tr.add_argument("--end", required=True)
+
+    args = ap.parse_args(argv)
+    spark = get_spark(f"etl-{args.cmd}", cores=getattr(args, "cores", None), streaming=True)
+
+    if args.cmd == "generate":
+        from stellar_etl_spark.generator import transcripts_df, write_transcripts
+
+        df = transcripts_df(spark, n_convs=args.n_convs, seed=args.seed)
+        write_transcripts(df, args.out)
+        print(json.dumps({"written": df.count(), "path": args.out}))
+        return 0
+
+    if args.cmd == "get_time_range":
+        from stellar_etl_spark.operators import time_range
+        from stellar_etl_spark.sources.transcripts import read_batch
+
+        row = time_range(read_batch(spark, args.source), args.start, args.end).collect()[0]
+        print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+        return 0
+
+    from stellar_etl_spark.operators import (
+        compact_last_state,
+        extract_conversations,
+        extract_effects,
+        extract_timeline,
+        extract_turns,
+        extract_units,
+    )
+    from stellar_etl_spark.operators.sessions import extract_sessions_streaming
+    from stellar_etl_spark.schemas import with_extra_fields
+    from stellar_etl_spark.streaming.pipeline import run_export, run_fanout_export, validate_rows
+    from stellar_etl_spark.streaming.sink import IdempotentSink
+    from stellar_etl_spark.streaming.state import streaming_pairs
+
+    extra = dict(kv.split("=", 1) for kv in args.extra_fields)
+
+    def wrap(ex):
+        def inner(df):
+            valid, _rejected = validate_rows(df, strict=args.strict_export)
+            return with_extra_fields(ex(valid), extra)
+
+        return inner
+
+    extractors = {
+        "export_turns": (wrap(extract_turns), ("conv_id", "turn_idx")),
+        "export_conversations": (wrap(extract_conversations), ("conv_id",)),
+        "export_units": (wrap(extract_units), ("conv_id", "turn_idx", "unit_idx")),
+        "export_effects": (wrap(extract_effects), ("conv_id", "turn_idx", "effect_index")),
+        "export_pairs": (
+            wrap(lambda df: streaming_pairs(df, args.watermark, 300)),
+            ("conv_id", "user_turn_idx"),
+        ),
+        "export_sessions": (
+            wrap(lambda df: extract_sessions_streaming(df, "30 minutes", args.watermark)),
+            ("conv_id", "session_start"),
+        ),
+        "export_timeline": (wrap(extract_timeline), ("conv_id", "turn_idx", "event_kind")),
+        # A4 ChangeCompactor: compaction needs a batch plan (window function),
+        # so it runs inside foreachBatch; merge-on-read orders by event time
+        "export_changes": (wrap(lambda df: df), ("conv_id",)),
+    }
+
+    if args.cmd == "export_all":
+        sinks = run_fanout_export(
+            spark,
+            args.source,
+            {name.removeprefix("export_"): ex for name, (ex, _) in extractors.items()
+             if name in ("export_turns", "export_units", "export_effects")},
+            args.sink,
+            args.checkpoint,
+        )
+        print(json.dumps({n: s.read_sink(spark).count() for n, s in sinks.items()}))
+        return 0
+
+    ex, keys = extractors[args.cmd]
+    if args.cmd == "export_changes":
+        sink = IdempotentSink(
+            args.sink,
+            keys,
+            batch_transform=lambda df: compact_last_state(df, ["conv_id"]),
+            order_cols=("ts", "turn_idx"),
+        )
+    else:
+        sink = IdempotentSink(args.sink, keys)
+    metrics = run_export(
+        spark,
+        args.source,
+        ex,
+        sink,
+        args.checkpoint,
+        max_files_per_trigger=args.max_files_per_trigger,
+        available_now=not args.follow,
+        with_listener=True,
+    )
+    print(json.dumps({"cmd": args.cmd, "metrics": metrics, "epochs": len(sink.lineage())}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -10,3 +10,6 @@ from stellar_etl_spark.operators.sessions import extract_sessions  # noqa: F401
 from stellar_etl_spark.operators.dedup import first_seen_dedup, compact_last_state  # noqa: F401
 from stellar_etl_spark.operators.dims import extract_star_schema  # noqa: F401
 from stellar_etl_spark.operators.ranges import time_range  # noqa: F401
+from stellar_etl_spark.operators.diffs import extract_tool_diffs  # noqa: F401
+from stellar_etl_spark.operators.timeline import extract_timeline  # noqa: F401
+from stellar_etl_spark.operators.payload import extract_structured_payload  # noqa: F401

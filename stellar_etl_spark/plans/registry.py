@@ -570,6 +570,163 @@ GROUP BY c_mktsegment
 """
 
 
+# --- J6/T20 timeline union --------------------------------------------------
+def q_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stellar_etl_spark.operators import extract_timeline
+
+    return extract_timeline(transcripts_from_events(spark, sf_dir), conv_seq=_seq())
+
+
+SQL_TIMELINE = f"""{TRANSCRIPTS_CTE},
+base AS (
+  SELECT *, {_SQL_TURN_ID} AS turn_id,
+         starts_with(coalesce(text,''), 'error:') AS failed
+  FROM transcripts
+)
+SELECT turn_id, conv_id, turn_idx, ts, 'turn' AS event_kind, role AS detail FROM base
+UNION ALL
+SELECT turn_id, conv_id, turn_idx, ts, 'tool_invocation', coalesce(tool, '') FROM base WHERE role = 'tool'
+UNION ALL
+SELECT turn_id, conv_id, turn_idx, ts, 'diagnostic', 'error' FROM base WHERE failed
+"""
+
+
+# --- T9 pre/post tool-set diffs ---------------------------------------------
+def q_tool_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stellar_etl_spark.operators import extract_tool_diffs
+
+    return extract_tool_diffs(transcripts_from_events(spark, sf_dir), "60 minutes")
+
+
+SQL_TOOL_DIFFS = f"""{TRANSCRIPTS_CTE},
+per_win AS (
+  SELECT conv_id,
+    make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 * 1000000 AS BIGINT)) AS window_start,
+    make_timestamp(CAST((floor(epoch(ts) / 3600) * 3600 + 3600) * 1000000 AS BIGINT)) AS window_end,
+    list_sort(coalesce(list(DISTINCT tool) FILTER (WHERE tool IS NOT NULL), [])) AS tools
+  FROM transcripts
+  GROUP BY 1, 2, 3
+),
+with_prev AS (
+  SELECT *, coalesce(lag(tools) OVER (PARTITION BY conv_id ORDER BY window_start),
+                     CAST([] AS VARCHAR[])) AS prev_tools
+  FROM per_win
+),
+changes AS (
+  SELECT conv_id, window_start, window_end, unnest(list_filter(tools, t -> NOT list_contains(prev_tools, t))) AS tool, 'added' AS change FROM with_prev
+  UNION ALL
+  SELECT conv_id, window_start, window_end, unnest(list_filter(prev_tools, t -> NOT list_contains(tools, t))), 'removed' FROM with_prev
+  UNION ALL
+  SELECT conv_id, window_start, window_end, unnest(list_intersect(tools, prev_tools)), 'retained' FROM with_prev
+)
+SELECT * FROM changes
+"""
+
+
+# --- A5 participant dedup ---------------------------------------------------
+def q_conv_participants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tv = transcripts_from_events(spark, sf_dir)
+    return tv.groupBy("conv_id").agg(
+        F.sort_array(F.collect_set("tool")).alias("tools_used"),
+        F.size(F.collect_set("tool")).cast("int").alias("n_tools"),
+        F.sort_array(F.collect_set("role")).alias("roles_seen"),
+    )
+
+
+SQL_CONV_PARTICIPANTS = f"""{TRANSCRIPTS_CTE}
+SELECT conv_id,
+  list_sort(coalesce(list(DISTINCT tool) FILTER (WHERE tool IS NOT NULL), [])) AS tools_used,
+  CAST(count(DISTINCT tool) AS INTEGER) AS n_tools,
+  list_sort(list(DISTINCT role)) AS roles_seen
+FROM transcripts
+GROUP BY conv_id
+"""
+
+
+# --- O1/O3 ordered limit ----------------------------------------------------
+def q_latest_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tv = transcripts_from_events(spark, sf_dir)
+    return (
+        tv.orderBy(F.desc("ts"), F.asc("conv_id"), F.asc("turn_idx"))
+        .limit(100)
+        .select("conv_id", "turn_idx", "role", "ts")
+    )
+
+
+SQL_LATEST_TURNS = f"""{TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx, role, ts
+FROM transcripts
+ORDER BY ts DESC, conv_id, turn_idx
+LIMIT 100
+"""
+
+
+# --- sliding windows --------------------------------------------------------
+def q_conversations_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tv = transcripts_from_events(spark, sf_dir)
+    return (
+        tv.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), F.col("conv_id"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "conv_id",
+            "n_turns",
+        )
+    )
+
+
+SQL_CONVERSATIONS_SLIDING = f"""{TRANSCRIPTS_CTE},
+buckets AS (
+  SELECT *, floor(epoch(ts) / 300) * 300 - unnest(range(0, 2)) * 300 AS ws
+  FROM transcripts
+)
+SELECT
+  make_timestamp(CAST(ws * 1000000 AS BIGINT)) AS window_start,
+  make_timestamp(CAST((ws + 600) * 1000000 AS BIGINT)) AS window_end,
+  conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns
+FROM buckets
+GROUP BY 1, 2, 3
+"""
+
+
+# --- T15 structured payload decode ------------------------------------------
+def q_structured_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stellar_etl_spark.operators import extract_structured_payload
+
+    return extract_structured_payload(transcripts_from_events(spark, sf_dir), "k INT")
+
+
+SQL_STRUCTURED_PAYLOAD = f"""{TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx, ts, json_extract(text, '$.k')::INTEGER AS k
+FROM transcripts
+WHERE {_SQL_SUCCESSFUL} AND json_valid(text)
+"""
+
+
+# --- near-dup / approx queries (no SQL oracle: hash-function-specific) ------
+def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stellar_etl_spark.functions.dedup import minhash_candidate_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_candidate_pairs(d, min_jaccard=0.4)
+
+
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stellar_etl_spark.functions.dedup import simhash_near_dups
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dups(d, max_hamming=8)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stellar_etl_spark.functions.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 5), dim=64, k=10, bits=8)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -593,6 +750,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "tpch_pricing": (q_tpch_pricing, SQL_TPCH_PRICING),
     "tpch_segment_revenue": (q_tpch_segment_revenue, SQL_TPCH_SEGMENT_REVENUE),
+    "timeline": (q_timeline, SQL_TIMELINE),
+    "tool_diffs": (q_tool_diffs, SQL_TOOL_DIFFS),
+    "conv_participants": (q_conv_participants, SQL_CONV_PARTICIPANTS),
+    "latest_turns": (q_latest_turns, SQL_LATEST_TURNS),
+    "conversations_sliding": (q_conversations_sliding, SQL_CONVERSATIONS_SLIDING),
+    "structured_payload": (q_structured_payload, SQL_STRUCTURED_PAYLOAD),
+    # approx/hash-specific ops: driver records rows-only checks (no oracle)
+    "doc_minhash_pairs": (q_doc_minhash_pairs, None),
+    "doc_simhash_pairs": (q_doc_simhash_pairs, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
 }
 
 

@@ -1,0 +1,256 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+Two operators, mirroring the reference's cross-batch state machinery:
+
+- :func:`streaming_pairs` — the J2 stateful stream-stream join (north star):
+  user turns paired with their first following assistant/tool response,
+  watermark-bounded, emitted only once the watermark proves the response set
+  complete (``transform/trade.go:281-304 findLatestOperationChange`` re-
+  oriented to "first following", with the event-time-timeout discipline the
+  reference never needs because its input is totally ordered).
+- :func:`running_conversation_state` — the A6 orderbook-state analog
+  (``internal/input/orderbooks.go:194-209 UpdateOrderbook``): a per-key
+  accumulator folded across micro-batches, emitting a snapshot per batch.
+
+State is Arrow-exchanged pandas (no per-row Python), keyed by ``conv_id``;
+state size is bounded by the watermark: a buffered row is evicted as soon as
+the watermark proves no future row can pair with it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+    ArrayType,
+    DoubleType,
+)
+
+RESPONSE_ROLES = ("assistant", "tool")
+
+PAIRS_OUT = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("user_turn_idx", IntegerType()),
+        StructField("user_ts", TimestampType()),
+        StructField("user_text", StringType()),
+        StructField("resp_turn_idx", IntegerType()),
+        StructField("resp_role", StringType()),
+        StructField("resp_ts", TimestampType()),
+        StructField("resp_text", StringType()),
+        StructField("latency_sec", DoubleType()),
+    ]
+)
+
+# Buffered turns per conversation, columnar (arrays align by position).
+PAIRS_STATE = StructType(
+    [
+        StructField("turn_idx", ArrayType(IntegerType())),
+        StructField("role", ArrayType(StringType())),
+        StructField("ts_us", ArrayType(LongType())),
+        StructField("text", ArrayType(StringType())),
+    ]
+)
+
+
+def _pairs_fn(max_lag_sec: int):
+    lag_us = max_lag_sec * 1_000_000
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        if state.exists:
+            turn_idx, role, ts_us, text = state.get
+            buf = list(zip(turn_idx, role, ts_us, text))
+        else:
+            buf = []
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                ts_us_new = pdf["ts"].astype("int64") // 1000  # ns -> us
+                for t, r, u, x in zip(
+                    pdf["turn_idx"], pdf["role"], ts_us_new, pdf["text"]
+                ):
+                    if r == "user" or r in RESPONSE_ROLES:
+                        buf.append((int(t), r, int(u), None if x is None else str(x)))
+        else:
+            # consume the (empty) iterator per API contract
+            for _ in pdfs:
+                pass
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        buf.sort(key=lambda b: b[0])  # turn order
+
+        out_rows = []
+        keep = []
+        responses = [b for b in buf if b[1] in RESPONSE_ROLES]
+        for b in buf:
+            t, r, u, x = b
+            if r == "user" and u + lag_us <= wm_us:
+                # response set complete: emit final pair
+                match = next(
+                    (
+                        rb
+                        for rb in responses
+                        if rb[0] > t and u <= rb[2] <= u + lag_us
+                    ),
+                    None,
+                )
+                out_rows.append(
+                    {
+                        "conv_id": conv_id,
+                        "user_turn_idx": t,
+                        "user_ts": pd.Timestamp(u, unit="us"),
+                        "user_text": x,
+                        "resp_turn_idx": match[0] if match else None,
+                        "resp_role": match[1] if match else None,
+                        "resp_ts": pd.Timestamp(match[2], unit="us") if match else None,
+                        "resp_text": match[3] if match else None,
+                        "latency_sec": float(match[2] // 1_000_000 - u // 1_000_000)
+                        if match
+                        else None,
+                    }
+                )
+            else:
+                keep.append(b)
+
+        # Evict responses no future/pending user turn can reference:
+        # pending users have ts > wm - lag; future users have ts >= wm.
+        min_pending_user_us = min(
+            (b[2] for b in keep if b[1] == "user"), default=wm_us
+        )
+        keep = [
+            b
+            for b in keep
+            if b[1] == "user" or b[2] >= min(min_pending_user_us, wm_us)
+        ]
+
+        if keep:
+            state.update(
+                (
+                    [b[0] for b in keep],
+                    [b[1] for b in keep],
+                    [b[2] for b in keep],
+                    [b[3] for b in keep],
+                )
+            )
+            pending_user = [b[2] for b in keep if b[1] == "user"]
+            if pending_user:
+                next_fire_us = min(pending_user) + lag_us
+            else:
+                next_fire_us = max(b[2] for b in keep) + lag_us
+            # timeout must be strictly beyond the current watermark
+            state.setTimeoutTimestamp(max(next_fire_us // 1000 + 1, wm_us // 1000 + 1))
+        else:
+            state.remove()
+
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return fn
+
+
+def streaming_pairs(
+    df: DataFrame, watermark: str = "2 minutes", max_lag_sec: int = 300
+) -> DataFrame:
+    """Watermark-bounded stateful user→response pairing.
+
+    Matches :func:`stellar_etl_spark.operators.pairs.extract_pairs`
+    (``max_lag_sec`` variant) exactly when event-time disorder stays within
+    the watermark — the golden equivalence pinned in tests.
+    """
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _pairs_fn(max_lag_sec),
+            outputStructType=PAIRS_OUT,
+            stateStructType=PAIRS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A6: running per-conversation accumulator
+# --------------------------------------------------------------------------
+CONVSTATE_OUT = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns", LongType()),
+        StructField("n_user", LongType()),
+        StructField("max_turn_idx", IntegerType()),
+        StructField("total_chars", LongType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+CONVSTATE_STATE = StructType(
+    [
+        StructField("n_turns", LongType()),
+        StructField("n_user", LongType()),
+        StructField("max_turn_idx", IntegerType()),
+        StructField("total_chars", LongType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+
+def _convstate_fn(
+    key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n_turns, n_user, max_idx, chars, last_us = (
+        state.get if state.exists else (0, 0, -1, 0, 0)
+    )
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        n_turns += len(pdf)
+        n_user += int((pdf["role"] == "user").sum())
+        max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+        chars += int(pdf["text"].fillna("").str.len().sum())
+        last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+    state.update((n_turns, n_user, max_idx, chars, last_us))
+    yield pd.DataFrame(
+        [
+            {
+                "conv_id": key[0],
+                "n_turns": n_turns,
+                "n_user": n_user,
+                "max_turn_idx": max_idx,
+                "total_chars": chars,
+                "last_ts": pd.Timestamp(last_us, unit="us"),
+            }
+        ]
+    )
+
+
+def running_conversation_state(df: DataFrame, watermark: str = "2 minutes") -> DataFrame:
+    """Cross-batch accumulating snapshot per conversation (update-mode)."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _convstate_fn,
+            outputStructType=CONVSTATE_OUT,
+            stateStructType=CONVSTATE_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

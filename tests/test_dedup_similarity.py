@@ -1,0 +1,89 @@
+import pyspark.sql.functions as F
+
+from stellar_etl_spark.functions.dedup import (
+    exact_duplicates,
+    hamming64,
+    jaccard_ngrams,
+    minhash_candidate_pairs,
+    simhash64,
+    simhash_near_dups,
+)
+from stellar_etl_spark.functions.similarity import cosine_topk, lsh_topk
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the quiet river bank tonight"
+    other = "completely different content about spark shuffle partitions and window state"
+    rows = [
+        (1, base),
+        (2, near),                      # near-dup of 1
+        (3, base.upper() + "!!!"),      # exact dup of 1 after normalization
+        (4, other),
+        (5, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    d = exact_duplicates(_docs(spark)).collect()
+    assert len(d) == 1
+    assert d[0]["canonical_id"] == 1 and d[0]["n_docs"] == 2
+
+
+def test_jaccard(spark):
+    df = _docs(spark)
+    pair = df.where("doc_id=1").crossJoin(df.where("doc_id=2").selectExpr("text as t2"))
+    j = pair.select(jaccard_ngrams(F.col("text"), F.col("t2")).alias("j")).collect()[0]["j"]
+    assert 0.7 < j < 1.0
+    same = df.where("doc_id=1").select(jaccard_ngrams(F.col("text"), F.col("text")).alias("j")).collect()[0]["j"]
+    assert same == 1.0
+
+
+def test_minhash_finds_near_dup(spark):
+    pairs = minhash_candidate_pairs(_docs(spark), min_jaccard=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert all(not (a == 4 or b == 4) for a, b in found)  # unrelated doc never pairs
+
+
+def test_simhash_hamming(spark):
+    df = _docs(spark)
+    sigs = {r["doc_id"]: r["sh"] for r in df.select("doc_id", simhash64(F.col("text")).alias("sh")).collect()}
+    two = spark.createDataFrame([(sigs[1], sigs[2]), (sigs[1], sigs[4])], "a long, b long")
+    d12, d14 = [r["d"] for r in two.select(hamming64(F.col("a"), F.col("b")).alias("d")).collect()]
+    assert d12 < d14  # near-dup closer than unrelated
+    near = simhash_near_dups(df, max_hamming=16).collect()
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in near}
+
+
+def test_cosine_topk_exact(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(30, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = cosine_topk(emb, emb.where("vec_id < 2"), k=5)
+    res = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+    # numpy oracle
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    for q in range(2):
+        order = [i for i in np.argsort(-sims[q]) if i != q][:5]
+        for rank, nid in enumerate(order, start=1):
+            assert res[(q, rank)] == nid, (q, rank)
+
+
+def test_lsh_topk_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    base = rng.randn(40, 16).astype("float32")
+    # plant a very close neighbor for vec 0
+    base[1] = base[0] + rng.randn(16).astype("float32") * 0.01
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = lsh_topk(emb, emb.where("vec_id = 0"), dim=16, k=5, bits=4)
+    neighbors = [r["neighbor_id"] for r in got.orderBy("rank").collect()]
+    assert neighbors and neighbors[0] == 1  # the planted near-dup lands in the bucket and ranks first

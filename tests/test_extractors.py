@@ -1,0 +1,154 @@
+"""Per-extractor unit tests on the micro fixture — the analog of the
+reference's table-driven transform tests (``internal/transform/*_test.go``)."""
+
+import pyspark.sql.functions as F
+
+from stellar_etl_spark.operators import (
+    compact_last_state,
+    extract_conversations,
+    extract_effects,
+    extract_pairs,
+    extract_sessions,
+    extract_star_schema,
+    extract_turns,
+    extract_units,
+    first_seen_dedup,
+    time_range,
+)
+from stellar_etl_spark.operators.dims import denormalize
+
+
+def test_turns_projection(micro):
+    t = {(r["conv_id"], r["turn_idx"]): r for r in extract_turns(micro).collect()}
+    a3 = t[("conv_a", 3)]
+    assert a3["successful"] is False  # error: prefix
+    assert a3["role_code"] == 2 and a3["tool"] == "search"
+    a0 = t[("conv_a", 0)]
+    assert a0["successful"] is True
+    assert a0["n_chars"] == len("hello there") and a0["n_tokens"] == 2
+    # sha256 of the exact text (golden per-turn text equality invariant)
+    import hashlib
+
+    assert a0["text_sha256"] == hashlib.sha256(b"hello there").hexdigest()
+    import base64
+
+    assert a0["text_b64"] == base64.b64encode(b"hello there").decode()
+    c0 = t[("conv_c", 0)]
+    assert c0["n_chars"] == 0 and c0["n_tokens"] == 0
+    # TOID ordering within conversation
+    ids = [t[("conv_a", i)]["turn_id"] for i in range(5)]
+    assert ids == sorted(ids)
+
+
+def test_conversations_counts(micro):
+    c = {r["conv_id"]: r for r in extract_conversations(micro).collect()}
+    a = c["conv_a"]
+    assert (a["n_turns"], a["n_user"], a["n_assistant"], a["n_tool"], a["n_system"]) == (5, 2, 1, 2, 0)
+    assert (a["n_successful"], a["n_failed"]) == (4, 1)
+    assert a["duration_sec"] == 40.0
+    b = c["conv_b"]
+    assert b["n_turns"] == 1 and b["n_system"] == 1 and b["duration_sec"] == 0.0
+
+
+def test_units_explode(micro):
+    u = extract_units(micro, span_tokens=4)
+    rows = u.where((F.col("conv_id") == "conv_c") & (F.col("turn_idx") == 1)).orderBy("unit_idx").collect()
+    # 9 tokens / 4 per span = 3 units
+    assert [r["unit_idx"] for r in rows] == [0, 1, 2]
+    assert rows[0]["payload"] == "one two three four"
+    assert rows[2]["payload"] == "nine"
+    assert all(r["unit_type"] == "span" for r in rows)
+    # tool turn -> single tool_call unit with details
+    tc = u.where((F.col("conv_id") == "conv_a") & (F.col("turn_idx") == 4)).collect()
+    assert len(tc) == 1 and tc[0]["unit_type"] == "tool_call"
+    assert tc[0]["details"]["tool"] == "search"
+    # empty text still yields exactly one unit
+    empty = u.where((F.col("conv_id") == "conv_c") & (F.col("turn_idx") == 0)).collect()
+    assert len(empty) == 1 and empty[0]["payload"] == ""
+
+
+def test_effects_rules(micro):
+    e = extract_effects(micro, long_turn_tokens=8)
+    by_turn = {}
+    for r in e.collect():
+        by_turn.setdefault((r["conv_id"], r["turn_idx"]), []).append(r)
+    # failed tool turn emits nothing
+    assert ("conv_a", 3) not in by_turn
+    # conv_a turn 0: turn_added + conversation_opened, dense indexes
+    a0 = sorted(by_turn[("conv_a", 0)], key=lambda r: r["effect_index"])
+    assert [r["effect_type_string"] for r in a0] == ["turn_added", "conversation_opened"]
+    assert [r["effect_index"] for r in a0] == [0, 1]
+    assert a0[1]["effect_id"] == f"{a0[1]['turn_id']}-1"
+    # successful tool turn: turn_added + tool_invoked
+    a4 = sorted(by_turn[("conv_a", 4)], key=lambda r: r["effect_index"])
+    assert [r["effect_type_string"] for r in a4] == ["turn_added", "tool_invoked"]
+    # empty text turn fires empty_text + conversation_opened
+    c0 = sorted(by_turn[("conv_c", 0)], key=lambda r: r["effect_index"])
+    assert [r["effect_type_string"] for r in c0] == ["turn_added", "empty_text", "conversation_opened"]
+    # long turn (9 tokens > 8)
+    c1 = [r["effect_type_string"] for r in by_turn[("conv_c", 1)]]
+    assert "long_turn" in c1
+
+
+def test_pairs_unbounded(micro):
+    p = {(r["conv_id"], r["user_turn_idx"]): r for r in extract_pairs(micro).collect()}
+    assert p[("conv_a", 0)]["resp_turn_idx"] == 1 and p[("conv_a", 0)]["latency_sec"] == 10.0
+    # user turn 2 pairs with the failed tool turn 3 (unbounded form doesn't filter)
+    assert p[("conv_a", 2)]["resp_turn_idx"] == 3
+    # conv_c turn 2 has no following response
+    assert p[("conv_c", 2)]["resp_turn_idx"] is None
+    assert ("conv_b", 0) not in p  # system turn is not a user turn
+
+
+def test_pairs_bounded_range_semantics(micro):
+    p = {(r["conv_id"], r["user_turn_idx"]): r for r in extract_pairs(micro, max_lag_sec=15).collect()}
+    assert p[("conv_a", 0)]["resp_turn_idx"] == 1
+    # conv_c user 0 at 02:00:00: assistant at +30s is beyond 15s lag -> null
+    assert p[("conv_c", 0)]["resp_turn_idx"] is None
+
+
+def test_sessions_gap_split(micro, spark):
+    rows = [
+        ("s", 0, "user", "a", None, "2026-01-01 00:00:00"),
+        ("s", 1, "assistant", "b", None, "2026-01-01 00:00:30"),
+        ("s", 2, "user", "c", None, "2026-01-01 02:00:00"),  # > 30 min gap
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = extract_sessions(df, gap_sec=1800).orderBy("session_start").collect()
+    assert len(out) == 2
+    assert out[0]["n_turns"] == 2 and out[1]["n_turns"] == 1
+    assert out[0]["duration_sec"] == 30.0
+
+
+def test_dedup_and_compaction(micro):
+    first = first_seen_dedup(micro, ["conv_id"])
+    assert first.count() == 3
+    got = {r["conv_id"]: r["turn_idx"] for r in first.collect()}
+    assert got["conv_a"] == 0
+    # conv_c: ts order differs from turn order — first by ts is turn 0
+    assert got["conv_c"] == 0
+    last = compact_last_state(micro, ["conv_id"])
+    got = {r["conv_id"]: r["turn_idx"] for r in last.collect()}
+    assert got["conv_a"] == 4
+    # conv_c: latest ts is turn 1 (02:00:30), not turn 2 (02:00:25)
+    assert got["conv_c"] == 1
+
+
+def test_star_schema_roundtrip(micro):
+    star = extract_star_schema(micro)
+    assert star["dim_role"].count() == 4
+    assert star["dim_tool"].count() == 1
+    denorm = denormalize(star)
+    orig = micro.select(
+        "conv_id", "role", "tool", F.length(F.coalesce("text", F.lit(""))).cast("long").alias("n_chars"), "ts"
+    )
+    assert denorm.select(*orig.columns).exceptAll(orig).count() == 0
+    assert denorm.count() == micro.count()
+
+
+def test_time_range_clamps(micro):
+    # requested range wider than data -> clamps to data bounds
+    r = time_range(micro, "2020-01-01", "2030-01-01").collect()[0]
+    assert r["n_turns"] == 9
+    r2 = time_range(micro, "2026-01-01 00:00:15", "2026-01-01 00:00:35").collect()[0]
+    assert r2["n_turns"] == 2  # turns at 00:00:20 and 00:00:30

@@ -1,0 +1,125 @@
+import pyspark.sql.functions as F
+
+from stellar_etl_spark.functions.encoding import strkey_decode, strkey_encode, strkey_valid
+from stellar_etl_spark.functions.multimodal import extract_media_features, synth_media_df
+from stellar_etl_spark.functions.scalars import (
+    b64,
+    batch_end_inclusive,
+    batch_start,
+    flag_names,
+    hex_hash,
+    interval_str,
+    map_lookup,
+    price_ratio,
+    scaled_amount,
+    unix_to_ts,
+)
+
+
+def test_strkey_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("conv_00000042",), ("東京 unicode ☃",), (None,)], "v string"
+    )
+    out = df.select(
+        "v",
+        strkey_encode(F.col("v")).alias("enc"),
+    ).select("v", "enc", strkey_decode(F.col("enc")).alias("dec"), strkey_valid(F.col("enc")).alias("ok"))
+    rows = out.collect()
+    for r in rows:
+        if r["v"] is None:
+            assert r["enc"] is None
+        else:
+            assert r["dec"] == r["v"] and r["ok"]
+
+
+def test_strkey_rejects_corruption(spark):
+    df = spark.createDataFrame([("hello",)], "v string")
+    enc = df.select(strkey_encode(F.col("v")).alias("e")).collect()[0]["e"]
+    corrupted = enc[:-1] + ("A" if enc[-1] != "A" else "B")
+    chk = spark.createDataFrame([(corrupted,)], "e string").select(
+        strkey_valid(F.col("e")).alias("ok"), strkey_decode(F.col("e")).alias("dec")
+    ).collect()[0]
+    assert not chk["ok"] and chk["dec"] is None
+
+
+def test_media_features_deterministic(spark):
+    media = synth_media_df(spark, n=30)
+    a = sorted(map(tuple, extract_media_features(media).collect()))
+    b = sorted(map(tuple, extract_media_features(media).collect()))
+    assert a == b
+    feats = {r["kind"] for r in extract_media_features(media).collect()}
+    assert feats <= {"image", "audio", "video"}
+    rows = extract_media_features(media).collect()
+    for r in rows:
+        if r["kind"] == "image":
+            assert r["width"] and r["height"] and r["duration_sec"] is None
+        else:
+            assert r["duration_sec"] is not None and r["width"] is None
+
+
+def test_scalar_library(spark):
+    df = spark.createDataFrame([(12345678, 3, 4, 0b101)], "v long, n int, d int, flags int")
+    row = df.select(
+        scaled_amount(F.col("v")).alias("amt"),
+        price_ratio(F.col("n"), F.col("d")).alias("pr"),
+        price_ratio(F.col("n"), F.lit(0)).alias("pz"),
+        interval_str(F.lit(5), F.lit(9)).alias("iv"),
+        batch_start(F.col("v"), 64).alias("bs"),
+        batch_end_inclusive(F.col("v"), 64).alias("be"),
+        map_lookup(F.lit("b"), {"a": 1, "b": 2}).alias("ml"),
+        map_lookup(F.lit("zz"), {"a": 1}, default=-1).alias("md"),
+        flag_names(F.col("flags"), {1: "auth", 2: "revoke", 4: "clawback"}).alias("fn"),
+        hex_hash(F.lit("ab").cast("binary")).alias("hh"),
+        b64(F.lit("hi")).alias("b"),
+    ).collect()[0]
+    assert row["amt"] == 1.2345678
+    assert row["pr"] == 0.75 and row["pz"] is None
+    assert row["iv"] == "[5,9)"
+    assert row["bs"] == 12345678 - (12345678 % 64)
+    assert row["be"] == row["bs"] + 63
+    assert row["ml"] == 2 and row["md"] == -1
+    assert row["fn"] == ["auth", "clawback"]
+    assert row["hh"] == "6162"
+    assert row["b"] == "aGk="
+
+
+def test_unix_to_ts_strict(spark):
+    import pytest
+
+    df = spark.createDataFrame([(5,), (-1,)], "v long")
+    ok = df.where("v >= 0").select(unix_to_ts(F.col("v")).alias("t")).collect()
+    assert str(ok[0]["t"]) == "1970-01-01 00:00:05"
+    with pytest.raises(Exception):
+        df.select(unix_to_ts(F.col("v"), strict=True).alias("t")).collect()
+    lenient = df.select(unix_to_ts(F.col("v"), strict=False).alias("t")).collect()
+    assert any(r["t"] is None for r in lenient)
+
+
+def test_tool_diffs_operator(spark):
+    rows = [
+        ("c", 0, "tool", "x", "search", "2026-01-01 00:01:00"),
+        ("c", 1, "tool", "x", "code", "2026-01-01 00:02:00"),
+        ("c", 2, "tool", "x", "code", "2026-01-01 01:01:00"),
+        ("c", 3, "tool", "x", "fetch", "2026-01-01 01:02:00"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    from stellar_etl_spark.operators import extract_tool_diffs
+
+    out = extract_tool_diffs(df, "60 minutes").collect()
+    w1 = [(r["tool"], r["change"]) for r in out if r["window_start"].hour == 0]
+    w2 = [(r["tool"], r["change"]) for r in out if r["window_start"].hour == 1]
+    assert sorted(w1) == [("code", "added"), ("search", "added")]
+    assert sorted(w2) == [("code", "retained"), ("fetch", "added"), ("search", "removed")]
+
+
+def test_structured_payload(spark):
+    rows = [
+        ("c", 0, "user", '{"k": 7}', None, "2026-01-01 00:00:00"),
+        ("c", 1, "tool", 'error: {"k": 9}', "code", "2026-01-01 00:00:10"),
+        ("c", 2, "user", "not json", None, "2026-01-01 00:00:20"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    from stellar_etl_spark.operators import extract_structured_payload
+
+    out = extract_structured_payload(df, "k INT").collect()
+    assert len(out) == 1 and out[0]["k"] == 7

@@ -1,0 +1,207 @@
+"""Streaming-layer tests: exactly-once replay, batch-size independence (the
+reference's key golden property, ``cmd/export_ledgers_test.go:44-50``),
+stateful operators vs their batch forms, fan-out, validation."""
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from stellar_etl_spark.generator import transcripts_df, write_transcripts
+from stellar_etl_spark.operators import extract_pairs, extract_turns
+from stellar_etl_spark.operators.sessions import extract_sessions, extract_sessions_streaming
+from stellar_etl_spark.streaming.pipeline import (
+    run_export,
+    run_fanout_export,
+    stream_stream_join_pairs,
+    validate_rows,
+)
+from stellar_etl_spark.streaming.sink import IdempotentSink
+from stellar_etl_spark.streaming.state import running_conversation_state, streaming_pairs
+
+
+@pytest.fixture(scope="module")
+def source(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("stream_src")
+    df = transcripts_df(spark, n_convs=40, hot_convs=1, hot_turns=60)
+    path = str(tmp / "transcripts")
+    write_transcripts(df, path)
+    return path, df
+
+
+def _flush_sentinel(spark, path, ts="2026-06-01 00:00:00"):
+    """Append a far-future row to push the watermark past all real data."""
+    s = (
+        spark.createDataFrame(
+            [("flush", 0, "system", "", None, ts)],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("ts_date", F.to_date("ts"))
+    )
+    s.write.mode("append").partitionBy("ts_date").parquet(path)
+
+
+def test_stream_equals_batch_and_lineage(spark, source, tmp_path):
+    path, df = source
+    sink = IdempotentSink(str(tmp_path / "turns"), ("conv_id", "turn_idx"))
+    m = run_export(spark, path, extract_turns, sink, str(tmp_path / "ckpt"),
+                   max_files_per_trigger=2, with_listener=True)
+    got = sink.read_sink(spark)
+    expected = extract_turns(df)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    lineage = sink.lineage()
+    assert len(lineage) >= 2  # multiple epochs committed
+    assert sum(e["rows"] for e in lineage) == expected.count()
+    # listener progress events are delivered async — it may miss trailing
+    # batches; lineage (above) is the exact count, the listener is telemetry
+    assert m["batches"] >= 1 and 0 < m["input_rows"] <= df.count()
+
+
+def test_exactly_once_replay(spark, source, tmp_path):
+    """Kill-after-write-before-commit: delete the last commit marker so the
+    resumed query re-executes the final epoch — the sink must end byte-identical
+    (the reference's deterministic-filename replay semantics)."""
+    path, df = source
+    sink = IdempotentSink(str(tmp_path / "turns"), ("conv_id", "turn_idx"))
+    ckpt = str(tmp_path / "ckpt")
+    run_export(spark, path, extract_turns, sink, ckpt, max_files_per_trigger=2)
+    before = sorted(map(tuple, sink.read_sink(spark).collect()))
+
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    # also corrupt the epoch dir to prove it is fully rewritten
+    shutil.rmtree(os.path.join(str(tmp_path / "turns"), f"epoch={int(last)}"))
+
+    run_export(spark, path, extract_turns, sink, ckpt, max_files_per_trigger=2)
+    after = sorted(map(tuple, sink.read_sink(spark).collect()))
+    assert after == before
+
+
+def test_batch_size_independence(spark, source, tmp_path):
+    """Same rows regardless of micro-batch boundaries — maxFilesPerTrigger 1
+    vs unbounded must produce identical sink contents."""
+    path, df = source
+    outs = []
+    for i, mfpt in enumerate([1, None]):
+        sink = IdempotentSink(str(tmp_path / f"t{i}"), ("conv_id", "turn_idx"))
+        run_export(spark, path, extract_turns, sink, str(tmp_path / f"c{i}"),
+                   max_files_per_trigger=mfpt)
+        outs.append(sorted(map(tuple, sink.read_sink(spark).collect())))
+    assert outs[0] == outs[1]
+
+
+def test_stateful_pairs_match_batch(spark, source, tmp_path):
+    path, df = source
+    sink = IdempotentSink(str(tmp_path / "pairs"), ("conv_id", "user_turn_idx"))
+    ckpt = str(tmp_path / "ckpt")
+    ex = lambda s: streaming_pairs(s, "2 minutes", 300)  # noqa: E731
+    run_export(spark, path, ex, sink, ckpt, max_files_per_trigger=4)
+    flush_path = str(tmp_path / "src_copy")
+    shutil.copytree(path, flush_path)
+    _flush_sentinel(spark, flush_path)
+    # note: checkpoint tracks the original dir; run against the copy fresh
+    sink2 = IdempotentSink(str(tmp_path / "pairs2"), ("conv_id", "user_turn_idx"))
+    run_export(spark, flush_path, ex, sink2, str(tmp_path / "ckpt2"), max_files_per_trigger=4)
+    got = sink2.read_sink(spark).where(F.col("conv_id") != "flush")
+    want = extract_pairs(df, max_lag_sec=300)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_stream_join_matches_batch_join(spark, source, tmp_path):
+    path, df = source
+    src_copy = str(tmp_path / "src")
+    shutil.copytree(path, src_copy)
+    _flush_sentinel(spark, src_copy)
+    sink = IdempotentSink(str(tmp_path / "ssj"), ("conv_id", "user_turn_idx", "resp_turn_idx"))
+    run_export(spark, src_copy, lambda s: stream_stream_join_pairs(s, "2 minutes", 300),
+               sink, str(tmp_path / "ckpt"))
+    got = sink.read_sink(spark).where(F.col("conv_id") != "flush")
+    # batch equivalent: inner range join, all responses in horizon
+    users = df.where(F.col("role") == "user").select(
+        "conv_id", F.col("turn_idx").alias("user_turn_idx"),
+        F.col("ts").alias("user_ts"), F.col("text").alias("user_text"))
+    resps = df.where(F.col("role").isin("assistant", "tool")).select(
+        F.col("conv_id").alias("rc"), F.col("turn_idx").alias("resp_turn_idx"),
+        F.col("role").alias("resp_role"), F.col("ts").alias("resp_ts"),
+        F.col("text").alias("resp_text"))
+    want = users.join(
+        resps,
+        (users.conv_id == resps.rc)
+        & (resps.resp_turn_idx > users.user_turn_idx)
+        & (resps.resp_ts >= users.user_ts)
+        & (resps.resp_ts <= users.user_ts + F.expr("INTERVAL 300 SECONDS")),
+        "inner",
+    )
+    assert got.count() == want.count()
+
+
+def test_session_window_streaming_matches_batch(spark, tmp_path):
+    # in-order data (disorder=0): native session windows == batch gap-islands
+    df = transcripts_df(spark, n_convs=25, disorder_sec=0, session_break_gap_sec=3600)
+    path = str(tmp_path / "src")
+    write_transcripts(df, path)
+    _flush_sentinel(spark, path)
+    sink = IdempotentSink(str(tmp_path / "sess"), ("conv_id", "session_start"))
+    run_export(spark, path, lambda s: extract_sessions_streaming(s, "30 minutes", "2 minutes"),
+               sink, str(tmp_path / "ckpt"))
+    got = sink.read_sink(spark).where(F.col("conv_id") != "flush")
+    want = extract_sessions(df, gap_sec=1800)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_running_state_accumulates(spark, source, tmp_path):
+    path, df = source
+    sink = IdempotentSink(str(tmp_path / "state"), ("conv_id",))
+    run_export(spark, path, lambda s: running_conversation_state(s, "2 minutes"),
+               sink, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    # merge-on-read keeps the LAST snapshot per conv — must equal batch totals
+    got = {r["conv_id"]: r for r in sink.read_sink(spark).collect()}
+    want = {r["conv_id"]: r for r in df.groupBy("conv_id").agg(
+        F.count("*").alias("n"), F.max("turn_idx").alias("m")).collect()}
+    assert set(got) == set(want)
+    for cid, w in want.items():
+        assert got[cid]["n_turns"] == w["n"], cid
+        assert got[cid]["max_turn_idx"] == w["m"], cid
+
+
+def test_fanout_single_scan(spark, source, tmp_path):
+    path, df = source
+    from stellar_etl_spark.operators import extract_conversations
+
+    sinks = run_fanout_export(
+        spark, path,
+        {"turns": extract_turns, "convs": extract_conversations},
+        str(tmp_path / "fan"), str(tmp_path / "ckpt"),
+        keys={"turns": ("conv_id", "turn_idx"), "convs": ("conv_id",)},
+    )
+    assert sinks["turns"].read_sink(spark).count() == df.count()
+    # per-epoch conv summaries: merge-on-read keeps one row per conv
+    assert sinks["convs"].read_sink(spark).count() == df.select("conv_id").distinct().count()
+
+
+def test_validate_rows_lenient_and_strict(spark):
+    rows = [
+        ("c", 0, "user", "ok", None, "2026-01-01 00:00:00"),
+        (None, 1, "user", "bad conv", None, "2026-01-01 00:00:01"),
+        ("c", -2, "user", "bad idx", None, "2026-01-01 00:00:02"),
+        ("c", 3, "alien", "bad role", None, "2026-01-01 00:00:03"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    valid, rejected = validate_rows(df, strict=False)
+    assert valid.count() == 1
+    reasons = sorted(r["_reject_reason"] for r in rejected.collect())
+    assert reasons == ["negative turn_idx", "null conv_id", "unknown role"]
+
+    strict_df, _ = validate_rows(df, strict=True)
+    with pytest.raises(Exception, match="strict-export"):
+        strict_df.collect()
