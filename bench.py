@@ -68,22 +68,53 @@ def main() -> None:
         try:
             src = os.path.join(tmp, "transcripts")
             gen0 = time.time()
-            df = transcripts_df(spark, n_convs=n_convs, hot_convs=2, hot_turns=2048)
+            # fixed partition count so every parallelism level sees identical
+            # files (identical micro-batch boundaries -> comparable work);
+            # dense conv spacing keeps the day-partition count low
+            df = transcripts_df(
+                spark, n_convs=n_convs, hot_convs=2, hot_turns=2048,
+                partitions=64, conv_spacing_sec=4,
+            )
             write_transcripts(df, src)
             n_turns = df.count()
             gen_sec = time.time() - gen0
 
-            sink = IdempotentSink(os.path.join(tmp, "turns_sink"))
+            fanout = bool(os.environ.get("SPARK_GRAFT_BENCH_FANOUT"))
+            mfpt_env = os.environ.get("SPARK_GRAFT_BENCH_MFPT")
+            mfpt = int(mfpt_env) if mfpt_env else (32 if fanout else 8)
+            if mfpt <= 0:
+                mfpt = None  # one big availableNow batch
             s0 = time.time()
-            metrics = run_export(
-                spark,
-                src,
-                extract_turns,
-                sink,
-                os.path.join(tmp, "ckpt"),
-                max_files_per_trigger=8,
-                with_listener=True,
-            )
+            if fanout:
+                # the export_all shape: one scan fanned to 3 extractors
+                from stellar_etl_spark.operators import extract_effects, extract_units
+                from stellar_etl_spark.streaming.pipeline import run_fanout_export
+
+                run_fanout_export(
+                    spark,
+                    src,
+                    {"turns": extract_turns, "units": extract_units, "effects": extract_effects},
+                    os.path.join(tmp, "fan_sink"),
+                    os.path.join(tmp, "ckpt"),
+                    keys={
+                        "turns": ("conv_id", "turn_idx"),
+                        "units": ("conv_id", "turn_idx", "unit_idx"),
+                        "effects": ("conv_id", "turn_idx", "effect_index"),
+                    },
+                    max_files_per_trigger=mfpt,
+                )
+                metrics = {}
+            else:
+                sink = IdempotentSink(os.path.join(tmp, "turns_sink"))
+                metrics = run_export(
+                    spark,
+                    src,
+                    extract_turns,
+                    sink,
+                    os.path.join(tmp, "ckpt"),
+                    max_files_per_trigger=mfpt,
+                    with_listener=True,
+                )
             stream_sec = time.time() - s0
             result["streaming"] = {
                 "n_turns": int(n_turns),

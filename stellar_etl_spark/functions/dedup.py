@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
-from stellar_etl_spark.functions.text import fingerprint64, rolling_hashes
+from stellar_etl_spark.functions.text import fingerprint64, normalized, rolling_hashes
 
 # Deterministic per-permutation salts — MinHash permutation i is
 # min(xxhash64(salt_i, shingle_hash)) which is a universal-hash approximation
@@ -104,6 +104,48 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def shingle_hash_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, sh) — one row per k-shingle hash, in relational form.
+
+    This is the scale path: posexplode words → ``lead`` window → hash. Unlike
+    the array/lambda form (:func:`rolling_hashes`), every step is whole-stage
+    codegen; the interpreted higher-order-function evaluator never runs. Docs
+    shorter than k words emit one shingle over their available words (nulls
+    coalesced to position sentinels), so every doc has ≥1 shingle iff it has
+    ≥1 word."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(normalized(F.col(text_col)), " ")).alias("pos", "w"),
+    ).where(F.col("w") != "")
+    h = words.select("id", "pos", F.xxhash64("w").alias("h0"))
+    w = Window.partitionBy("id").orderBy("pos")
+    lead_cols = [F.lead("h0", j).over(w).alias(f"h{j}") for j in range(1, k)]
+    hh = h.select("id", "pos", "h0", *lead_cols)
+    # full shingles, plus the single truncated shingle at pos 0 for short docs
+    full = F.col(f"h{k - 1}").isNotNull()
+    keep = full | ((F.col("pos") == 0) & F.col(f"h{k - 1}").isNull())
+    sh = F.xxhash64(*[F.coalesce(F.col(f"h{j}"), F.lit(-(j + 1))) for j in range(k)])
+    return hh.where(keep).select("id", sh.alias("sh"))
+
+
+def minhash_signature_rows(
+    shingles_df: DataFrame, num_perm: int = 32
+) -> DataFrame:
+    """(id, p, m): min-hash per permutation, from (id, sh) rows. The explode
+    fans each shingle to ``num_perm`` rows but the ``min`` aggregation is
+    map-side partial, so the shuffle carries only num_perm rows per doc."""
+    perms = shingles_df.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("p"),
+        "sh",
+    ).select("id", "p", F.xxhash64("p", "sh").alias("ph"))
+    return perms.groupBy("id", "p").agg(F.min("ph").alias("m"))
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -113,33 +155,69 @@ def minhash_candidate_pairs(
     k: int = 3,
     min_jaccard: float = 0.5,
 ) -> DataFrame:
-    """MinHash/LSH near-dup pipeline: signature → band explode → bucket
-    self-join → exact Jaccard verify. Returns (id_a, id_b, jaccard) pairs with
-    id_a < id_b and jaccard >= min_jaccard."""
+    """MinHash/LSH near-dup pipeline, relational end-to-end:
+    shingle rows → per-permutation mins → band keys → bucket self-join →
+    exact Jaccard verify on candidate pairs only. Returns (id_a, id_b,
+    jaccard) with id_a < id_b and jaccard >= min_jaccard.
+
+    Shuffle budget: 1 window (by id) + 2 small aggs (≤ num_perm rows/doc) +
+    the band-key equi-join + the verify joins — text payload moves only for
+    verified candidates, never through the LSH."""
     rows = num_perm // bands
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("txt"),
-        minhash_signature(F.col(text_col), num_perm, k).alias("sig"),
-    )
-    banded = sigs.select(
-        "id", "txt", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band_key")
+    mins = minhash_signature_rows(shingle_hash_rows(df, text_col, id_col, k), num_perm)
+    banded = (
+        mins.withColumn("band", (F.col("p") / rows).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.array_sort(F.collect_list(F.struct("p", "m"))).alias("pm"))
+        .select(
+            "id",
+            F.xxhash64("band", F.transform(F.col("pm"), lambda x: x["m"]).cast("string")).alias(
+                "band_key"
+            ),
+        )
     )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.txt").alias("txt_a"),
-            F.col("b.txt").alias("txt_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    verified = cands.select(
+    texts = df.select(F.col(id_col).alias("tid"), F.col(text_col).alias("txt"))
+    joined = (
+        cands.join(texts.withColumnRenamed("tid", "id_a").withColumnRenamed("txt", "txt_a"), "id_a")
+        .join(texts.withColumnRenamed("tid", "id_b").withColumnRenamed("txt", "txt_b"), "id_b")
+    )
+    verified = joined.select(
         "id_a", "id_b", jaccard_ngrams(F.col("txt_a"), F.col("txt_b"), k).alias("jaccard")
     )
     return verified.where(F.col("jaccard") >= min_jaccard)
+
+
+def simhash_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 1
+) -> DataFrame:
+    """(id, sh): 64-bit SimHash per doc, relational form — shingle rows →
+    64 partial-aggregated ±1 vote sums (one groupBy, map-side combine) →
+    bit pack. Fully codegen; the array/lambda form (:func:`simhash64`) is the
+    single-column convenience API."""
+    sh = shingle_hash_rows(df, text_col, id_col, k)
+    votes = sh.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(F.col("sh"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    packed = None
+    for b in range(64):
+        bit = F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed.bitwiseOR(bit)
+    return votes.select("id", packed.alias("sh"))
 
 
 def simhash_near_dups(
@@ -152,7 +230,7 @@ def simhash_near_dups(
     """SimHash near-dup candidates: 4-block banding (two blocks must match for
     hamming<=3 by pigeonhole over 4 blocks... conservatively we join on any
     single matching 16-bit block, then verify hamming <= max_hamming)."""
-    sigs = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), k).alias("sh"))
+    sigs = simhash_rows(df, text_col, id_col, k)
     blocks = sigs.select(
         "id",
         "sh",

@@ -705,6 +705,15 @@ WHERE {_SQL_SUCCESSFUL} AND json_valid(text)
 """
 
 
+# --- skew: two-phase salted aggregation — same oracle as `conversations` ----
+def q_conversations_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stellar_etl_spark.operators.salt import extract_conversations_salted
+
+    return extract_conversations_salted(
+        transcripts_from_events(spark, sf_dir), buckets=16, conv_seq=_seq()
+    )
+
+
 # --- near-dup / approx queries (no SQL oracle: hash-function-specific) ------
 def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellar_etl_spark.functions.dedup import minhash_candidate_pairs
@@ -717,7 +726,7 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellar_etl_spark.functions.dedup import simhash_near_dups
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_dups(d, max_hamming=8)
+    return simhash_near_dups(d, max_hamming=4)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,6 +765,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "latest_turns": (q_latest_turns, SQL_LATEST_TURNS),
     "conversations_sliding": (q_conversations_sliding, SQL_CONVERSATIONS_SLIDING),
     "structured_payload": (q_structured_payload, SQL_STRUCTURED_PAYLOAD),
+    "conversations_salted": (q_conversations_salted, SQL_CONVERSATIONS),
     # approx/hash-specific ops: driver records rows-only checks (no oracle)
     "doc_minhash_pairs": (q_doc_minhash_pairs, None),
     "doc_simhash_pairs": (q_doc_simhash_pairs, None),

@@ -152,3 +152,12 @@ def test_time_range_clamps(micro):
     assert r["n_turns"] == 9
     r2 = time_range(micro, "2026-01-01 00:00:15", "2026-01-01 00:00:35").collect()[0]
     assert r2["n_turns"] == 2  # turns at 00:00:20 and 00:00:30
+
+
+def test_salted_conversations_equivalent(micro, spark):
+    from stellar_etl_spark.operators.conversations import extract_conversations
+    from stellar_etl_spark.operators.salt import extract_conversations_salted
+
+    a = extract_conversations(micro)
+    b = extract_conversations_salted(micro, buckets=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

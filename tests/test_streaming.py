@@ -97,20 +97,25 @@ def test_batch_size_independence(spark, source, tmp_path):
     assert outs[0] == outs[1]
 
 
-def test_stateful_pairs_match_batch(spark, source, tmp_path):
+def test_stateful_pairs_match_batch_with_state_recovery(spark, source, tmp_path):
+    """Two separate runs over the SAME checkpoint: run 1 buffers state (most
+    pairs not yet watermark-finalized), run 2 recovers the state store and the
+    sentinel pushes the watermark so everything emits — must equal the batch
+    range-join exactly. Exercises cross-run state recovery, not just one-shot
+    execution."""
     path, df = source
+    src = str(tmp_path / "src")
+    shutil.copytree(path, src)
     sink = IdempotentSink(str(tmp_path / "pairs"), ("conv_id", "user_turn_idx"))
     ckpt = str(tmp_path / "ckpt")
     ex = lambda s: streaming_pairs(s, "2 minutes", 300)  # noqa: E731
-    run_export(spark, path, ex, sink, ckpt, max_files_per_trigger=4)
-    flush_path = str(tmp_path / "src_copy")
-    shutil.copytree(path, flush_path)
-    _flush_sentinel(spark, flush_path)
-    # note: checkpoint tracks the original dir; run against the copy fresh
-    sink2 = IdempotentSink(str(tmp_path / "pairs2"), ("conv_id", "user_turn_idx"))
-    run_export(spark, flush_path, ex, sink2, str(tmp_path / "ckpt2"), max_files_per_trigger=4)
-    got = sink2.read_sink(spark).where(F.col("conv_id") != "flush")
+    run_export(spark, src, ex, sink, ckpt, max_files_per_trigger=4)
+    n_first = sink.read_sink(spark).count()
+    _flush_sentinel(spark, src)
+    run_export(spark, src, ex, sink, ckpt, max_files_per_trigger=4)
+    got = sink.read_sink(spark).where(F.col("conv_id") != "flush")
     want = extract_pairs(df, max_lag_sec=300)
+    assert n_first < want.count()  # run 1 left pending state behind
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
