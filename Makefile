@@ -1,0 +1,21 @@
+# Developer entrypoints (reference has make test / make build, Makefile:18-35)
+
+.PHONY: test test-fast parity bench scaling golden-update
+
+test:
+	python -m pytest tests/ -x -q
+
+test-fast:
+	python -m pytest tests/ -x -q -m "not slow" --ignore=tests/test_streaming.py
+
+parity:
+	PARITY_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
+
+bench:
+	python bench.py
+
+scaling:
+	SPARK_GRAFT_DRIVER_MEM=16g python bench_scaling.py
+
+golden-update:
+	GOLDEN_UPDATE=1 python -m pytest tests/test_golden.py -q

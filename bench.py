@@ -66,18 +66,27 @@ def main() -> None:
         n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
         tmp = tempfile.mkdtemp(prefix="bench_stream_")
         try:
-            src = os.path.join(tmp, "transcripts")
-            gen0 = time.time()
-            # fixed partition count so every parallelism level sees identical
-            # files (identical micro-batch boundaries -> comparable work);
-            # dense conv spacing keeps the day-partition count low
-            df = transcripts_df(
-                spark, n_convs=n_convs, hot_convs=2, hot_turns=2048,
-                partitions=64, conv_spacing_sec=4,
-            )
-            write_transcripts(df, src)
-            n_turns = df.count()
-            gen_sec = time.time() - gen0
+            pre_src = os.environ.get("SPARK_GRAFT_BENCH_SRC")
+            if pre_src:
+                # pre-generated shared source (bench_scaling.py generates once
+                # and points every parallelism level at the same files)
+                src = pre_src
+                gen_sec = 0.0
+                n_turns = spark.read.parquet(src).count()
+            else:
+                src = os.path.join(tmp, "transcripts")
+                gen0 = time.time()
+                # fixed partition count so every parallelism level sees
+                # identical files (identical micro-batch boundaries ->
+                # comparable work); dense conv spacing keeps the
+                # day-partition count low
+                df = transcripts_df(
+                    spark, n_convs=n_convs, hot_convs=2, hot_turns=2048,
+                    partitions=64, conv_spacing_sec=4,
+                )
+                write_transcripts(df, src)
+                n_turns = df.count()
+                gen_sec = time.time() - gen0
 
             fanout = bool(os.environ.get("SPARK_GRAFT_BENCH_FANOUT"))
             mfpt_env = os.environ.get("SPARK_GRAFT_BENCH_MFPT")

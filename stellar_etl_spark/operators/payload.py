@@ -25,7 +25,12 @@ def extract_structured_payload(
         out = out.where(
             ~F.coalesce(F.startswith(F.col("text"), F.lit("error:")), F.lit(False))
         )
-    parsed = out.withColumn("_p", F.from_json(F.col("text"), schema))
+    # from_json is PERMISSIVE (all-null struct for garbage); the actual
+    # "decodable" test is get_json_object('$') — null iff text isn't JSON
+    # (mirrors the oracle's json_valid())
+    parsed = out.where(F.get_json_object(F.col("text"), "$").isNotNull()).withColumn(
+        "_p", F.from_json(F.col("text"), schema)
+    )
     return parsed.where(F.col("_p").isNotNull()).select(
         "conv_id",
         "turn_idx",

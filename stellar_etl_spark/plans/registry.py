@@ -729,6 +729,20 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(d, max_hamming=4)
 
 
+def q_strkey_handles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: vectorized pandas-UDF strkey encode/decode round trip over the
+    conversation ids (no SQL oracle — the checksummed base32 encoding is
+    engine-specific; the round-trip equality below is the invariant and
+    tests/test_functions_misc.py pins it)."""
+    from stellar_etl_spark.functions.encoding import strkey_decode, strkey_encode
+
+    tv = transcripts_from_events(spark, sf_dir).select("conv_id").distinct()
+    enc = tv.withColumn("handle", strkey_encode(F.col("conv_id")))
+    return enc.withColumn("decoded", strkey_decode(F.col("handle"))).where(
+        F.col("decoded") == F.col("conv_id")
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellar_etl_spark.functions.similarity import lsh_topk
 
@@ -768,6 +782,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "conversations_salted": (q_conversations_salted, SQL_CONVERSATIONS),
     # approx/hash-specific ops: driver records rows-only checks (no oracle)
     "doc_minhash_pairs": (q_doc_minhash_pairs, None),
+    "strkey_handles": (q_strkey_handles, None),
     "doc_simhash_pairs": (q_doc_simhash_pairs, None),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
 }

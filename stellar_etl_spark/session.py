@@ -44,9 +44,15 @@ def get_spark(
     cores = cores or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cores, 8)
 
+    # SPARK_GRAFT_MASTER overrides the master URL — used by bench_scaling.py
+    # to run local-cluster[n, c, mem] (one JVM per executor, the honest proxy
+    # for an N-executor cluster; a single local[N] JVM hits GC/allocation
+    # contention that real multi-JVM clusters don't have).
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.session.timeZone", "UTC")
@@ -63,6 +69,7 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.executor.memory", os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "4g"))
     )
 
     if streaming:

@@ -44,6 +44,7 @@ def run_export(
     available_now: bool = True,
     timeout_sec: int = 600,
     with_listener: bool = False,
+    output_mode: str = "append",
 ) -> dict:
     """Run one streaming export to completion (AvailableNow) or until timeout.
 
@@ -62,7 +63,7 @@ def run_export(
         writer = (
             out.writeStream.foreachBatch(sink.foreach_batch)
             .option("checkpointLocation", checkpoint)
-            .outputMode("append")
+            .outputMode(output_mode)
         )
         if available_now:
             writer = writer.trigger(availableNow=True)

@@ -166,7 +166,8 @@ def test_running_state_accumulates(spark, source, tmp_path):
     path, df = source
     sink = IdempotentSink(str(tmp_path / "state"), ("conv_id",))
     run_export(spark, path, lambda s: running_conversation_state(s, "2 minutes"),
-               sink, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+               sink, str(tmp_path / "ckpt"), max_files_per_trigger=2,
+               output_mode="update")
     # merge-on-read keeps the LAST snapshot per conv — must equal batch totals
     got = {r["conv_id"]: r for r in sink.read_sink(spark).collect()}
     want = {r["conv_id"]: r for r in df.groupBy("conv_id").agg(
