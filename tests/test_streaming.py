@@ -211,3 +211,45 @@ def test_validate_rows_lenient_and_strict(spark):
     strict_df, _ = validate_rows(df, strict=True)
     with pytest.raises(Exception, match="strict-export"):
         strict_df.collect()
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """A2 streaming form: dropDuplicatesWithinWatermark over duplicate
+    deliveries == batch first-seen dedup (same key set, same count)."""
+    from stellar_etl_spark.operators.dedup import streaming_first_seen_dedup
+
+    df = transcripts_df(spark, n_convs=30, with_duplicates=True)
+    path = str(tmp_path / "src")
+    write_transcripts(df, path)
+    sink = IdempotentSink(str(tmp_path / "out"), ("conv_id", "turn_idx"))
+    run_export(
+        spark, path,
+        lambda s: streaming_first_seen_dedup(s, ["conv_id", "turn_idx"], "2 minutes"),
+        sink, str(tmp_path / "ckpt"),
+    )
+    got = sink.read_sink(spark)
+    want = df.dropDuplicates(["conv_id", "turn_idx"])
+    assert got.count() == want.count()
+    assert got.select("conv_id", "turn_idx").exceptAll(
+        want.select("conv_id", "turn_idx")
+    ).count() == 0
+
+
+def test_windowed_agg_streaming_matches_batch(spark, tmp_path):
+    """Tumbling-window conversation aggregates: streaming append-mode output
+    (after watermark flush) == batch windowed aggregation."""
+    from stellar_etl_spark.operators.conversations import extract_conversations_windowed
+
+    df = transcripts_df(spark, n_convs=30)
+    path = str(tmp_path / "src")
+    write_transcripts(df, path)
+    _flush_sentinel(spark, path)
+    sink = IdempotentSink(str(tmp_path / "out"), ("conv_id", "window_start"))
+    run_export(
+        spark, path,
+        lambda s: extract_conversations_windowed(s, "5 minutes", watermark="2 minutes"),
+        sink, str(tmp_path / "ckpt"),
+    )
+    got = sink.read_sink(spark).where(F.col("conv_id") != "flush")
+    want = extract_conversations_windowed(df, "5 minutes")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
