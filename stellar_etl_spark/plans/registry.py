@@ -88,6 +88,24 @@ FROM transcripts
 """
 
 
+# --- T3 raw passthrough (TransformLedgerTransaction,
+# transform/ledger_transaction.go:13-58: raw envelope + minimal header) ------
+def q_turns_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tv = transcripts_from_events(spark, sf_dir)
+    return tv.select(
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.base64(F.col("text").cast("binary")).alias("raw_b64"),
+        F.col("ts"),
+    )
+
+
+SQL_TURNS_RAW = f"""{TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx, base64(encode(text)) AS raw_b64, ts
+FROM transcripts
+"""
+
+
 # --- T1/A1 conversations ----------------------------------------------------
 def q_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_conversations(transcripts_from_events(spark, sf_dir), conv_seq=_seq())
@@ -755,6 +773,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "turns": (q_turns, SQL_TURNS),
+    "turns_raw": (q_turns_raw, SQL_TURNS_RAW),
     "conversations": (q_conversations, SQL_CONVERSATIONS),
     "conversations_windowed": (q_conversations_windowed, SQL_CONVERSATIONS_WINDOWED),
     "units": (q_units, SQL_UNITS),
