@@ -140,6 +140,12 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+        # window-close latency: live-feed measurement (see streaming/latency.py)
+        if not os.environ.get("SPARK_GRAFT_ONLY_STREAMING"):
+            from stellar_etl_spark.streaming.latency import measure_window_close_latency
+
+            result["window_close"] = measure_window_close_latency(spark)
+
     result["value"] = round(time.time() - t0, 3)
     spark.stop()
     print(json.dumps(result))

@@ -253,3 +253,13 @@ def test_windowed_agg_streaming_matches_batch(spark, tmp_path):
     got = sink.read_sink(spark).where(F.col("conv_id") != "flush")
     want = extract_conversations_windowed(df, "5 minutes")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_window_close_latency_measurement(spark):
+    from stellar_etl_spark.streaming.latency import measure_window_close_latency
+
+    r = measure_window_close_latency(
+        spark, n_convs=300, feed_slices=3, feed_interval_sec=1.0, timeout_sec=90
+    )
+    assert r["windows"] > 0
+    assert 0 < r["close_latency_ms_mean"] < 60_000
