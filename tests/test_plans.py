@@ -1,0 +1,75 @@
+"""Physical-plan regression tests — pin the efficiency properties the engine
+is designed around (SURVEY §4): narrow extractors stay shuffle-free, aggs are
+single-shuffle partial+final, dims broadcast, scans get pushdown + partition
+pruning. A change that silently adds a shuffle or drops a pushdown fails here
+long before it shows up as a 100 TB regression."""
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from stellar_etl_spark.generator import transcripts_df, write_transcripts
+from stellar_etl_spark.operators import (
+    extract_conversations,
+    extract_effects,
+    extract_star_schema,
+    extract_turns,
+    extract_units,
+)
+from stellar_etl_spark.operators.dims import denormalize
+from stellar_etl_spark.sources.transcripts import read_range
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return transcripts_df(spark, n_convs=20)
+
+
+def test_narrow_extractors_no_shuffle(tdf):
+    for ex in (extract_turns, extract_units, extract_effects):
+        assert "Exchange" not in _plan(ex(tdf)), ex.__name__
+
+
+def test_conversations_single_shuffle_partial_agg(tdf):
+    plan = _plan(extract_conversations(tdf))
+    assert plan.count("Exchange") == 1
+    # partial (map-side) + final aggregate pair
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_denormalize_broadcasts_dims(tdf):
+    plan = _plan(denormalize(extract_star_schema(tdf)))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_pushdown_and_partition_pruning(spark, tmp_path):
+    write_transcripts(transcripts_df(spark, n_convs=200, conv_spacing_sec=600), str(tmp_path / "t"))
+    rr = read_range(spark, str(tmp_path / "t"), "2026-01-01 00:00:00", "2026-01-01 06:00:00")
+    plan = _plan(rr)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ts_date" in m.group(1), "day-partition pruning missing"
+    m = re.search(r"DataFilters: \[([^\]]*)\]", plan)
+    assert m and "ts" in m.group(1), "ts predicate not pushed to scan"
+
+
+def test_whole_stage_codegen_active(tdf):
+    # codegen stages appear as '*(n)' markers in the executed plan
+    assert "*(" in _plan(extract_turns(tdf))
+
+
+def test_tpch_pricing_scan_prunes_columns(spark):
+    from stellar_etl_spark.plans.registry import q_tpch_pricing
+
+    plan = _plan(q_tpch_pricing(spark, "/root/testdata/sf0.001"))
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m is not None
+    # 11-column table: the 6 needed columns only
+    assert "l_orderkey" not in m.group(1) and "l_partkey" not in m.group(1)
+    m2 = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m2 and "l_shipdate" in m2.group(1)
