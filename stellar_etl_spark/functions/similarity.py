@@ -71,6 +71,29 @@ def cosine_topk(
     )
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    min_sim: float = 0.6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with cosine
+    similarity >= min_sim. Exact all-pairs form — the verification tool; at
+    corpus scale the LSH-bucketed variant generates candidates first and this
+    join runs only within buckets."""
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), as_double_array(F.col(vec_col)).alias("va")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), as_double_array(F.col(vec_col)).alias("vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+        .where(F.col("sim") >= min_sim)
+    )
+
+
 def hyperplane_signature(vec: Column, dim: int, bits: int = 16, seed: int = 42) -> Column:
     """Random-hyperplane LSH signature: bit b = sign(<v, h_b>) where h_b is a
     deterministic pseudo-random ±1 hyperplane derived from (seed, b, i).

@@ -535,6 +535,24 @@ WHERE rank <= 10
 """
 
 
+# --- embeddings: cosine near-dup pairs --------------------------------------
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stellar_etl_spark.functions.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, min_sim=0.5).select("id_a", "id_b")
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.vec, b.vec)
+      / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)) + 1e-12), 6)
+      >= 0.5
+"""
+
+
 # --- TPC-H-style relational checks -----------------------------------------
 def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -790,6 +808,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "tpch_pricing": (q_tpch_pricing, SQL_TPCH_PRICING),
     "tpch_segment_revenue": (q_tpch_segment_revenue, SQL_TPCH_SEGMENT_REVENUE),
     "timeline": (q_timeline, SQL_TIMELINE),

@@ -124,6 +124,39 @@ def run_fanout_export(
     return sinks
 
 
+def run_validated_export(
+    spark: SparkSession,
+    source_path: str,
+    extractor: Extractor,
+    sink: IdempotentSink,
+    rejected_sink: IdempotentSink,
+    checkpoint: str,
+    strict: bool = False,
+    timeout_sec: int = 600,
+) -> None:
+    """K5 lenient mode, end-to-end: per micro-batch, split valid/rejected
+    (validation runs on the batch plan, so rejected rows route to their own
+    epoch-keyed sink with the failure reason instead of killing the query;
+    strict=True keeps the reference's fatal behavior)."""
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        valid, rejected = validate_rows(batch_df, strict=strict)
+        sink.foreach_batch(extractor(valid), epoch_id)
+        if rejected is not None:
+            rejected_sink.foreach_batch(rejected, epoch_id)
+
+    src = read_stream(spark, source_path)
+    q = (
+        src.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+
+
 # -- K5 strict/lenient row validation ---------------------------------------
 def _validity():
     # lazy: F.col needs an active session in classic mode

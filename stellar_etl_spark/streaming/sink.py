@@ -102,11 +102,58 @@ class IdempotentSink:
         )
 
     def lineage(self) -> list[dict]:
-        lineage_dir = os.path.join(self.path, "_lineage")
-        if not os.path.isdir(lineage_dir):
-            return []
-        out = []
-        for name in sorted(os.listdir(lineage_dir)):
-            with open(os.path.join(lineage_dir, name)) as f:
-                out.append(json.load(f))
-        return out
+        return _read_lineage(self.path)
+
+
+class IcebergMergeSink:
+    """Production sink: one atomic Iceberg ``MERGE INTO`` per micro-batch,
+    keyed by the business key — replayed epochs update the same rows, so the
+    table converges to exactly-once regardless of retry history (the MERGE
+    half of the design; the parquet IdempotentSink emulates it locally with
+    epoch-keyed overwrite + merge-on-read).
+
+    Requires Iceberg runtime jars + a configured catalog (not present in this
+    sandbox — constructor raises early if absent; the code path is exercised
+    on real deployments only).
+    """
+
+    def __init__(self, table: str, keys: tuple[str, ...] = ("conv_id", "turn_idx")):
+        self.table = table
+        self.keys = list(keys)
+
+    @staticmethod
+    def available(spark: SparkSession) -> bool:
+        try:
+            spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.source.IcebergSource")
+            return True
+        except Exception:
+            return False
+
+    def foreach_batch(self, df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        if not self.available(spark):
+            raise RuntimeError("Iceberg runtime not on the classpath")
+        view = f"_merge_src_{epoch_id}"
+        df.createOrReplaceTempView(view)
+        on = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)
+        spark.sql(
+            f"""
+            MERGE INTO {self.table} t
+            USING {view} s
+            ON {on}
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+        spark.catalog.dropTempView(view)
+
+
+def _read_lineage(path: str) -> list[dict]:
+    lineage_dir = os.path.join(path, "_lineage")
+    if not os.path.isdir(lineage_dir):
+        return []
+    out = []
+    for name in sorted(os.listdir(lineage_dir)):
+        with open(os.path.join(lineage_dir, name)) as f:
+            out.append(json.load(f))
+    return out

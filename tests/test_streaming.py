@@ -258,8 +258,39 @@ def test_windowed_agg_streaming_matches_batch(spark, tmp_path):
 def test_window_close_latency_measurement(spark):
     from stellar_etl_spark.streaming.latency import measure_window_close_latency
 
-    r = measure_window_close_latency(
-        spark, n_convs=300, feed_slices=3, feed_interval_sec=1.0, timeout_sec=90
-    )
+    # wall-clock sensitive: under full-suite CPU contention a run can abort —
+    # retry once before declaring failure
+    last_exc = None
+    for _ in range(2):
+        try:
+            r = measure_window_close_latency(
+                spark, n_convs=300, feed_slices=3, feed_interval_sec=1.0, timeout_sec=90
+            )
+            break
+        except Exception as e:  # noqa: BLE001
+            last_exc = e
+    else:
+        raise last_exc
     assert r["windows"] > 0
     assert 0 < r["close_latency_ms_mean"] < 60_000
+
+
+def test_validated_export_routes_rejected(spark, tmp_path):
+    from stellar_etl_spark.streaming.pipeline import run_validated_export
+
+    good = transcripts_df(spark, n_convs=10)
+    bad = spark.createDataFrame(
+        [(None, 0, "user", "bad", None, "2026-01-01 00:00:00"),
+         ("c", 1, "alien", "bad role", None, "2026-01-01 00:00:01")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "src")
+    write_transcripts(good.unionByName(bad), path)
+
+    sink = IdempotentSink(str(tmp_path / "out"), ("conv_id", "turn_idx"))
+    rej = IdempotentSink(str(tmp_path / "rej"), ("turn_idx",))
+    run_validated_export(spark, path, extract_turns, sink, rej, str(tmp_path / "ckpt"))
+    assert sink.read_sink(spark).count() == good.count()
+    rejected = rej.read_raw(spark)
+    assert rejected.count() == 2
+    assert set(r["_reject_reason"] for r in rejected.collect()) == {"null conv_id", "unknown role"}
