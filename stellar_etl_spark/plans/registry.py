@@ -679,6 +679,32 @@ GROUP BY conv_id
 """
 
 
+# --- T14-style nested struct-array output (claimable-balance claimants
+# analog, transform/claimable_balance.go claimants ArrayType(StructType);
+# deterministic in-array sort per O4 effects.go:1140-1143) -------------------
+def q_conv_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tv = transcripts_from_events(spark, sf_dir)
+    per = (
+        tv.where(F.col("tool").isNotNull())
+        .groupBy("conv_id", "tool")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per.groupBy("conv_id").agg(
+        F.to_json(F.sort_array(F.collect_list(F.struct("tool", "n")))).alias("tool_stats")
+    )
+
+
+SQL_CONV_TOOL_STATS = f"""{TRANSCRIPTS_CTE},
+per AS (
+  SELECT conv_id, tool, CAST(count(*) AS BIGINT) AS n
+  FROM transcripts WHERE tool IS NOT NULL
+  GROUP BY conv_id, tool
+)
+SELECT conv_id, to_json(list_sort(list({{'tool': tool, 'n': n}}))) AS tool_stats
+FROM per GROUP BY conv_id
+"""
+
+
 # --- O1/O3 ordered limit ----------------------------------------------------
 def q_latest_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     tv = transcripts_from_events(spark, sf_dir)
@@ -814,6 +840,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "timeline": (q_timeline, SQL_TIMELINE),
     "tool_diffs": (q_tool_diffs, SQL_TOOL_DIFFS),
     "conv_participants": (q_conv_participants, SQL_CONV_PARTICIPANTS),
+    "conv_tool_stats": (q_conv_tool_stats, SQL_CONV_TOOL_STATS),
     "latest_turns": (q_latest_turns, SQL_LATEST_TURNS),
     "conversations_sliding": (q_conversations_sliding, SQL_CONVERSATIONS_SLIDING),
     "structured_payload": (q_structured_payload, SQL_STRUCTURED_PAYLOAD),
