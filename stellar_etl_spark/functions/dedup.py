@@ -18,27 +18,11 @@ import pyspark.sql.functions as F
 
 from stellar_etl_spark.functions.text import fingerprint64, normalized, rolling_hashes
 
-# Deterministic per-permutation salts — MinHash permutation i is
-# min(xxhash64(salt_i, shingle_hash)) which is a universal-hash approximation
-# of a random permutation.
-
-
-def minhash_signature(text_col: Column, num_perm: int = 32, k: int = 3) -> Column:
-    """array<long> MinHash signature of the text's k-shingle set."""
-    hashes = rolling_hashes(text_col, k)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(F.transform(hashes, lambda h: F.xxhash64(i, h))),
-    )
-
-
-def lsh_band_keys(sig: Column, bands: int = 8, rows: int = 4) -> Column:
-    """array<long> of LSH bucket keys, one per band (band index is mixed into
-    the key so different bands never collide)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(b, F.slice(sig, b * rows + 1, rows).cast("array<string>")),
-    )
+# MinHash permutation i is min(xxhash64(i, shingle_hash)) — a universal-hash
+# approximation of a random permutation. The production pipeline below is
+# fully relational (shingle rows → per-permutation mins) because array-lambda
+# higher-order functions evaluate interpreted in Spark (measured 28x slower);
+# only simhash64 keeps a single-Column convenience form.
 
 
 def simhash64(text_col: Column, k: int = 1) -> Column:

@@ -73,3 +73,20 @@ def test_tpch_pricing_scan_prunes_columns(spark):
     assert "l_orderkey" not in m.group(1) and "l_partkey" not in m.group(1)
     m2 = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m2 and "l_shipdate" in m2.group(1)
+
+
+def test_pairs_single_shuffle(tdf):
+    from stellar_etl_spark.operators import extract_pairs
+
+    plan = _plan(extract_pairs(tdf))
+    assert plan.count("Exchange") == 1  # one conv_id partitioning, reused
+
+
+def test_sessions_shares_partitioning(tdf):
+    from stellar_etl_spark.operators import extract_sessions
+
+    # lag + cumulative-sum windows + final agg all share the conv_id
+    # partitioning: at most 2 exchanges (window partitioning + aggregation
+    # re-key on (conv_id, session_seq))
+    plan = _plan(extract_sessions(tdf))
+    assert plan.count("Exchange") <= 2

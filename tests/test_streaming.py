@@ -294,3 +294,35 @@ def test_validated_export_routes_rejected(spark, tmp_path):
     rejected = rej.read_raw(spark)
     assert rejected.count() == 2
     assert set(r["_reject_reason"] for r in rejected.collect()) == {"null conv_id", "unknown role"}
+
+
+def test_stateful_pairs_hot_conversation(spark, tmp_path):
+    """Skew stress: one 1024-turn hot conversation through the stateful
+    pairing operator — state stays bounded, output matches batch exactly."""
+    df = transcripts_df(spark, n_convs=12, hot_convs=1, hot_turns=1024)
+    path = str(tmp_path / "src")
+    write_transcripts(df, path)
+    _flush_sentinel(spark, path)
+    sink = IdempotentSink(str(tmp_path / "out"), ("conv_id", "user_turn_idx"))
+    run_export(spark, path, lambda s: streaming_pairs(s, "2 minutes", 300),
+               sink, str(tmp_path / "ckpt"), max_files_per_trigger=4)
+    got = sink.read_sink(spark).where(F.col("conv_id") != "flush")
+    want = extract_pairs(df, max_lag_sec=300)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_session_windows_under_disorder(spark, tmp_path):
+    """Session windows with out-of-order events (disorder < watermark):
+    event-time semantics make streaming == batch regardless of arrival
+    order within the watermark bound."""
+    df = transcripts_df(spark, n_convs=20, disorder_sec=10, session_break_gap_sec=3600)
+    path = str(tmp_path / "src")
+    write_transcripts(df, path)
+    _flush_sentinel(spark, path)
+    sink = IdempotentSink(str(tmp_path / "sess"), ("conv_id", "session_start"))
+    run_export(spark, path, lambda s: extract_sessions_streaming(s, "30 minutes", "2 minutes"),
+               sink, str(tmp_path / "ckpt"))
+    got = sink.read_sink(spark).where(F.col("conv_id") != "flush")
+    want = extract_sessions(df, gap_sec=1800)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
