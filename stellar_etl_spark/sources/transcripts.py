@@ -60,9 +60,12 @@ def read_stream(
             reader = reader.option("streaming-max-files-per-micro-batch", str(max_files_per_trigger))
         df = reader.load(path[len("iceberg:"):])
     else:
-        reader = spark.readStream.schema(
-            TRANSCRIPTS.add("ts_date", "date")  # partition column in the local layout
-        )
+        # fresh StructType: StructType.add MUTATES in place — reusing the
+        # module-level schema would grow it by one ts_date per call
+        from pyspark.sql.types import DateType, StructField, StructType
+
+        schema = StructType(list(TRANSCRIPTS.fields) + [StructField("ts_date", DateType())])
+        reader = spark.readStream.schema(schema)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
         df = reader.parquet(path)
