@@ -24,7 +24,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 
+def ensure_utc(spark: SparkSession) -> None:
+    """Epoch-second derivations (unix_timestamp, window bucketing) must agree
+    with DuckDB's tz-naive epoch(); pin the session to UTC — the driver's
+    session config is not ours to assume."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     role = (
