@@ -62,13 +62,35 @@ def extract_units(
     unit_type = F.when(F.col("is_tool"), F.lit("tool_call")).otherwise(F.lit("span"))
 
     # The per-type details switch (operation.go:584-1184): map keys depend on
-    # the unit type, exactly like the reference's op-type-specific details.
+    # the unit type AND the tool kind, exactly like the reference's op-type-
+    # specific details maps (27-way switch there; per-tool here).
+    tool_extra = (
+        F.when(
+            F.col("tool") == "search",
+            F.create_map(F.lit("n_terms"), F.size(F.split(payload, r"\s+")).cast("string")),
+        )
+        .when(
+            F.col("tool") == "code",
+            F.create_map(F.lit("n_lines"), F.size(F.split(payload, "\n")).cast("string")),
+        )
+        .when(
+            F.col("tool") == "calc",
+            F.create_map(
+                F.lit("n_digits"),
+                F.length(F.regexp_replace(payload, "[^0-9]", "")).cast("string"),
+            ),
+        )
+        .otherwise(F.create_map().cast("map<string,string>"))
+    )
     details = F.when(
         F.col("is_tool"),
-        F.create_map(
-            F.lit("tool"), F.coalesce(F.col("tool"), F.lit("")),
-            F.lit("args_sha256"), sha256_hex(payload),
-            F.lit("failed"), F.coalesce(F.startswith(payload, F.lit("error:")), F.lit(False)).cast("string"),
+        F.map_concat(
+            F.create_map(
+                F.lit("tool"), F.coalesce(F.col("tool"), F.lit("")),
+                F.lit("args_sha256"), sha256_hex(payload),
+                F.lit("failed"), F.coalesce(F.startswith(payload, F.lit("error:")), F.lit(False)).cast("string"),
+            ),
+            tool_extra,
         ),
     ).otherwise(
         F.create_map(

@@ -62,6 +62,8 @@ def test_units_explode(micro):
     tc = u.where((F.col("conv_id") == "conv_a") & (F.col("turn_idx") == 4)).collect()
     assert len(tc) == 1 and tc[0]["unit_type"] == "tool_call"
     assert tc[0]["details"]["tool"] == "search"
+    # per-tool-type extra keys (the 27-way details switch analog)
+    assert tc[0]["details"]["n_terms"] == "3"
     # empty text still yields exactly one unit
     empty = u.where((F.col("conv_id") == "conv_c") & (F.col("turn_idx") == 0)).collect()
     assert len(empty) == 1 and empty[0]["payload"] == ""
