@@ -163,3 +163,12 @@ def test_salted_conversations_equivalent(micro, spark):
     a = extract_conversations(micro)
     b = extract_conversations_salted(micro, buckets=4)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_with_extra_fields(micro):
+    from stellar_etl_spark.schemas import with_extra_fields
+
+    out = with_extra_fields(extract_turns(micro), {"network": "mainnet", "source": "etl"})
+    row = out.limit(1).collect()[0]
+    assert row["network"] == "mainnet" and row["source"] == "etl"
+    assert out.count() == micro.count()
