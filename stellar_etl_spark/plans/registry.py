@@ -853,8 +853,20 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
+def _with_utc(fn: QueryFn) -> QueryFn:
+    # every query computes epoch-derived values; the caller's session timezone
+    # is not ours to assume (see transcript_view.ensure_utc)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stellar_etl_spark.plans.transcript_view import ensure_utc
+
+        ensure_utc(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: _with_utc(fn) for name, (fn, _) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
