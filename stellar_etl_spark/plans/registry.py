@@ -661,19 +661,21 @@ SELECT * FROM changes
 
 # --- A5 participant dedup ---------------------------------------------------
 def q_conv_participants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # array outputs serialized to JSON so the driver's value-hash sees plain
+    # strings (array-cell hashing is engine-dependent)
     tv = transcripts_from_events(spark, sf_dir)
     return tv.groupBy("conv_id").agg(
-        F.sort_array(F.collect_set("tool")).alias("tools_used"),
+        F.to_json(F.sort_array(F.collect_set("tool"))).alias("tools_used"),
         F.size(F.collect_set("tool")).cast("int").alias("n_tools"),
-        F.sort_array(F.collect_set("role")).alias("roles_seen"),
+        F.to_json(F.sort_array(F.collect_set("role"))).alias("roles_seen"),
     )
 
 
 SQL_CONV_PARTICIPANTS = f"""{TRANSCRIPTS_CTE}
 SELECT conv_id,
-  list_sort(coalesce(list(DISTINCT tool) FILTER (WHERE tool IS NOT NULL), [])) AS tools_used,
+  to_json(list_sort(coalesce(list(DISTINCT tool) FILTER (WHERE tool IS NOT NULL), []))) AS tools_used,
   CAST(count(DISTINCT tool) AS INTEGER) AS n_tools,
-  list_sort(list(DISTINCT role)) AS roles_seen
+  to_json(list_sort(list(DISTINCT role))) AS roles_seen
 FROM transcripts
 GROUP BY conv_id
 """
