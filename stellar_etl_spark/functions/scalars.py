@@ -19,6 +19,14 @@ def scaled_amount_decimal(col: Column, decimals: int = 7) -> Column:
     return (col.cast("decimal(38,7)") / F.lit(10**decimals)).cast("decimal(38,7)")
 
 
+# The engine-wide failed-turn predicate (tx `successful` flag analog,
+# schema.go:58): a turn failed iff its payload carries the error marker.
+# Single definition — six operators share it; the DuckDB oracle mirror is
+# registry._SQL_SUCCESSFUL.
+def is_successful(text_col: Column) -> Column:
+    return ~F.coalesce(F.startswith(text_col, F.lit("error:")), F.lit(False))
+
+
 # C2: hex-encode a hash (utils/main.go:34-38 HashToHexString).
 def hex_hash(col: Column) -> Column:
     return F.lower(F.hex(col))

@@ -92,6 +92,8 @@ def embedding_near_dups(
 
     rows = corpus.select(F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v"))
     local = rows.collect()
+    if not local:
+        return corpus.sparkSession.createDataFrame([], "id_a long, id_b long, sim double")
     ids = np.array([r["id"] for r in local], dtype=np.int64)
     mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in local])
     norms = np.sqrt((mat * mat).sum(axis=1))
@@ -100,6 +102,8 @@ def embedding_near_dups(
     def fn(batches):
         b_ids, b_mat, b_norms = bc.value
         for pdf in batches:
+            if pdf.empty:
+                continue
             a_ids = pdf["id"].to_numpy(dtype=np.int64)
             a_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))

@@ -93,30 +93,56 @@ def main(argv: list[str] | None = None) -> int:
 
     from stellar_etl_spark.operators import (
         compact_last_state,
-        extract_conversations,
         extract_effects,
         extract_timeline,
         extract_turns,
         extract_units,
     )
+    from stellar_etl_spark.operators.conversations import extract_conversations_windowed
     from stellar_etl_spark.operators.sessions import extract_sessions_streaming
     from stellar_etl_spark.schemas import with_extra_fields
-    from stellar_etl_spark.streaming.pipeline import run_export, run_fanout_export, validate_rows
+    from stellar_etl_spark.streaming.pipeline import (
+        run_export,
+        run_fanout_export,
+        run_validated_export,
+        validate_rows,
+    )
     from stellar_etl_spark.streaming.sink import IdempotentSink
     from stellar_etl_spark.streaming.state import streaming_pairs
 
     extra = dict(kv.split("=", 1) for kv in args.extra_fields)
 
     def wrap(ex):
+        # strict path: fatal-on-invalid guard inline (lenient routing happens
+        # in run_validated_export below, which needs the unvalidated form)
         def inner(df):
-            valid, _rejected = validate_rows(df, strict=args.strict_export)
+            valid, _ = validate_rows(df, strict=True)
             return with_extra_fields(ex(valid), extra)
 
         return inner
 
+    def plain(ex):
+        def inner(df):
+            return with_extra_fields(ex(df), extra)
+
+        return inner
+
+    raw_extractors = {
+        "export_turns": extract_turns,
+        "export_units": extract_units,
+        "export_effects": extract_effects,
+        "export_timeline": extract_timeline,
+        "export_changes": lambda df: df,
+    }
+
     extractors = {
         "export_turns": (wrap(extract_turns), ("conv_id", "turn_idx")),
-        "export_conversations": (wrap(extract_conversations), ("conv_id",)),
+        # streaming conversation summaries must be windowed (a global
+        # non-windowed agg cannot emit in append mode)
+        "export_conversations": (
+            wrap(lambda df: extract_conversations_windowed(df, "5 minutes", args.watermark)),
+            ("conv_id", "window_start"),
+        ),
         "export_units": (wrap(extract_units), ("conv_id", "turn_idx", "unit_idx")),
         "export_effects": (wrap(extract_effects), ("conv_id", "turn_idx", "effect_index")),
         "export_pairs": (
@@ -134,18 +160,45 @@ def main(argv: list[str] | None = None) -> int:
     }
 
     if args.cmd == "export_all":
+        fan = {
+            name.removeprefix("export_"): (ex, keys)
+            for name, (ex, keys) in extractors.items()
+            if name in ("export_turns", "export_units", "export_effects")
+        }
         sinks = run_fanout_export(
             spark,
             args.source,
-            {name.removeprefix("export_"): ex for name, (ex, _) in extractors.items()
-             if name in ("export_turns", "export_units", "export_effects")},
+            {n: ex for n, (ex, _) in fan.items()},
             args.sink,
             args.checkpoint,
+            keys={n: k for n, (ex, k) in fan.items()},
         )
         print(json.dumps({n: s.read_sink(spark).count() for n, s in sinks.items()}))
         return 0
 
     ex, keys = extractors[args.cmd]
+    if not args.strict_export:
+        # K5 lenient: rejected rows routed to a side sink with reasons.
+        # Only stateless extractors can run inside the per-batch validation
+        # wrapper; stateful/windowed commands need pre-cleaned input.
+        if args.cmd not in raw_extractors:
+            raise SystemExit(
+                f"--lenient is unsupported for {args.cmd} (stateful/windowed); "
+                "pre-clean the input with a lenient export_turns first"
+            )
+        sink = IdempotentSink(args.sink, keys)
+        rejected = IdempotentSink(args.sink + "_rejected", ("conv_id", "turn_idx"))
+        run_validated_export(
+            spark, args.source, plain(raw_extractors[args.cmd]), sink, rejected,
+            args.checkpoint, strict=False,
+        )
+        print(json.dumps({
+            "cmd": args.cmd,
+            "epochs": len(sink.lineage()),
+            "rejected_rows": sum(e["rows"] for e in rejected.lineage()),
+        }))
+        return 0
+
     if args.cmd == "export_changes":
         sink = IdempotentSink(
             args.sink,

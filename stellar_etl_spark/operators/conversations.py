@@ -16,10 +16,11 @@ import pyspark.sql.functions as F
 
 from stellar_etl_spark import toid as toid_mod
 from stellar_etl_spark.functions import text as textfn
+from stellar_etl_spark.functions.scalars import is_successful
 
 
 def _aggs() -> list[Column]:
-    successful = ~F.coalesce(F.startswith(F.col("text"), F.lit("error:")), F.lit(False))
+    successful = is_successful(F.col("text"))
     return [
         F.count(F.lit(1)).alias("n_turns"),
         F.count_if(F.col("role") == "user").alias("n_user"),

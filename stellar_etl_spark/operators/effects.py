@@ -28,6 +28,7 @@ import pyspark.sql.functions as F
 
 from stellar_etl_spark import toid as toid_mod
 from stellar_etl_spark.functions import text as textfn
+from stellar_etl_spark.functions.scalars import is_successful
 
 EFFECT_TYPES = {
     0: "turn_added",
@@ -54,7 +55,7 @@ def extract_effects(
 ) -> DataFrame:
     """Fan transcripts out into the EFFECTS output schema."""
     seq = conv_seq if conv_seq is not None else toid_mod.conv_seq("conv_id")
-    successful = ~F.coalesce(F.startswith(F.col("text"), F.lit("error:")), F.lit(False))
+    successful = is_successful(F.col("text"))
     n_tokens = textfn.token_count(F.col("text"))
     empty = F.coalesce(F.col("text"), F.lit("")) == ""
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
+from stellar_etl_spark.functions.scalars import is_successful
+
 
 def extract_structured_payload(
     df: DataFrame, schema: str = "k INT", only_successful: bool = True
@@ -22,9 +24,7 @@ def extract_structured_payload(
     pre-filter keeps undecodable junk out of the decode path)."""
     out = df
     if only_successful:
-        out = out.where(
-            ~F.coalesce(F.startswith(F.col("text"), F.lit("error:")), F.lit(False))
-        )
+        out = out.where(is_successful(F.col("text")))
     # from_json is PERMISSIVE (all-null struct for garbage); the actual
     # "decodable" test is get_json_object('$') — null iff text isn't JSON
     # (mirrors the oracle's json_valid())

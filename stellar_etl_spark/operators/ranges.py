@@ -24,8 +24,11 @@ def time_range(df: DataFrame, start: str | dt.datetime, end: str | dt.datetime) 
     n_turns} for turns with ``start <= ts <= end`` after clamping to the
     table's own [min_ts, max_ts] (ledger_range.go:72-81 semantics)."""
     bounds = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
-    start_c = F.greatest(F.lit(start).cast("timestamp"), F.col("lo"))
-    end_c = F.least(F.lit(end).cast("timestamp"), F.col("hi"))
+    # clamp BOTH ends into [lo, hi]: a request entirely outside the data
+    # collapses to the nearest boundary instant (closest-boundary semantics,
+    # ledger_range.go:72-81), never an empty all-null result
+    start_c = F.least(F.greatest(F.lit(start).cast("timestamp"), F.col("lo")), F.col("hi"))
+    end_c = F.least(F.greatest(F.lit(end).cast("timestamp"), F.col("lo")), F.col("hi"))
     clamped = bounds.select(start_c.alias("start_req"), end_c.alias("end_req"))
 
     filtered = df.join(F.broadcast(clamped)).where(

@@ -25,6 +25,7 @@ import pyspark.sql.functions as F
 
 from stellar_etl_spark import toid as toid_mod
 from stellar_etl_spark.functions import text as textfn
+from stellar_etl_spark.functions.scalars import is_successful
 
 
 def salted(df: DataFrame, salt_col: str = "turn_idx", buckets: int = 16) -> DataFrame:
@@ -38,7 +39,7 @@ def extract_conversations_salted(
     """Two-phase (salted) conversation summary, output identical to
     :func:`stellar_etl_spark.operators.conversations.extract_conversations`."""
     seq = conv_seq if conv_seq is not None else toid_mod.conv_seq("conv_id")
-    successful = ~F.coalesce(F.startswith(F.col("text"), F.lit("error:")), F.lit(False))
+    successful = is_successful(F.col("text"))
 
     partial = (
         salted(df, buckets=buckets)

@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 from stellar_etl_spark import toid as toid_mod
+from stellar_etl_spark.functions.scalars import is_successful
 
 
 def extract_timeline(df: DataFrame, conv_seq: Column | None = None) -> DataFrame:
@@ -29,7 +30,7 @@ def extract_timeline(df: DataFrame, conv_seq: Column | None = None) -> DataFrame
         "ts",
         toid_mod.toid(seq, "turn_idx").alias("turn_id"),
     )
-    failed = F.coalesce(F.startswith(F.col("text"), F.lit("error:")), F.lit(False))
+    failed = ~is_successful(F.col("text"))
 
     turn_events = base.select(
         "turn_id",

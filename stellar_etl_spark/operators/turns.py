@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 
 from stellar_etl_spark import toid as toid_mod
 from stellar_etl_spark.functions import text as textfn
-from stellar_etl_spark.functions.scalars import b64, interval_str, map_lookup, sha256_hex
+from stellar_etl_spark.functions.scalars import b64, interval_str, is_successful, map_lookup, sha256_hex
 from stellar_etl_spark.schemas import ROLE_CODES
 
 
@@ -33,7 +33,7 @@ def extract_turns(df: DataFrame, conv_seq: Column | None = None) -> DataFrame:
     """
     seq = conv_seq if conv_seq is not None else toid_mod.conv_seq("conv_id")
     txt = F.col("text")
-    successful = ~F.coalesce(F.startswith(txt, F.lit("error:")), F.lit(False))
+    successful = is_successful(txt)
     ts_sec = F.unix_timestamp("ts")
 
     return df.select(

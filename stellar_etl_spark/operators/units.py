@@ -67,7 +67,7 @@ def extract_units(
     tool_extra = (
         F.when(
             F.col("tool") == "search",
-            F.create_map(F.lit("n_terms"), F.size(F.split(payload, r"\s+")).cast("string")),
+            F.create_map(F.lit("n_terms"), textfn.token_count(payload).cast("string")),
         )
         .when(
             F.col("tool") == "code",
@@ -94,7 +94,8 @@ def extract_units(
         ),
     ).otherwise(
         F.create_map(
-            F.lit("span_tokens"), F.size(F.split(payload, r"\s+")).cast("string"),
+            # token_count, not raw split: F.split('') returns [''] (size 1)
+            F.lit("span_tokens"), textfn.token_count(payload).cast("string"),
             F.lit("span_chars"), F.length(payload).cast("string"),
         )
     )

@@ -364,11 +364,12 @@ def q_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("start_ts", "end_ts", "n_turns")
 
 
-SQL_TIME_RANGE = f"""{TRANSCRIPTS_CTE}
+SQL_TIME_RANGE = f"""{TRANSCRIPTS_CTE},
+b AS (SELECT min(ts) AS lo, max(ts) AS hi FROM transcripts)
 SELECT min(ts) AS start_ts, max(ts) AS end_ts, CAST(count(*) AS BIGINT) AS n_turns
-FROM transcripts
-WHERE ts BETWEEN greatest(TIMESTAMP '{_RANGE_LO}', (SELECT min(ts) FROM transcripts))
-             AND least(TIMESTAMP '{_RANGE_HI}', (SELECT max(ts) FROM transcripts))
+FROM transcripts, b
+WHERE ts BETWEEN least(greatest(TIMESTAMP '{_RANGE_LO}', b.lo), b.hi)
+             AND least(greatest(TIMESTAMP '{_RANGE_HI}', b.lo), b.hi)
 """
 
 
@@ -790,7 +791,8 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellar_etl_spark.functions.dedup import simhash_near_dups
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_dups(d, max_hamming=4)
+    # 4x16-bit block banding guarantees recall only for hamming <= 3
+    return simhash_near_dups(d, max_hamming=3)
 
 
 def q_strkey_handles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,6 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
+from stellar_etl_spark.operators.pairs import RESPONSE_ROLES
 from stellar_etl_spark.sources.transcripts import read_stream
 from stellar_etl_spark.streaming.listener import MetricsListener
 from stellar_etl_spark.streaming.sink import IdempotentSink
@@ -193,7 +194,7 @@ def validate_rows(df: DataFrame, strict: bool = True) -> tuple[DataFrame, DataFr
         "_reject_reason",
         F.when(F.col("conv_id").isNull(), F.lit("null conv_id"))
         .when(F.col("ts").isNull(), F.lit("null ts"))
-        .when(F.col("turn_idx") < 0, F.lit("negative turn_idx"))
+        .when(F.col("turn_idx").isNull() | (F.col("turn_idx") < 0), F.lit("invalid turn_idx"))
         .otherwise(F.lit("unknown role")),
     )
     return valid, rejected
@@ -219,7 +220,7 @@ def stream_stream_join_pairs(
         .withWatermark("user_ts", watermark)
     )
     resps = (
-        df.where(F.col("role").isin("assistant", "tool"))
+        df.where(F.col("role").isin(*RESPONSE_ROLES))
         .select(
             F.col("conv_id").alias("r_conv_id"),
             F.col("turn_idx").alias("resp_turn_idx"),

@@ -123,11 +123,9 @@ class IcebergMergeSink:
 
     @staticmethod
     def available(spark: SparkSession) -> bool:
-        try:
-            spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.source.IcebergSource")
-            return True
-        except Exception:
-            return False
+        from stellar_etl_spark.sources.transcripts import _iceberg_available
+
+        return _iceberg_available(spark)
 
     def foreach_batch(self, df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession

@@ -36,7 +36,7 @@ from pyspark.sql.types import (
     DoubleType,
 )
 
-RESPONSE_ROLES = ("assistant", "tool")
+from stellar_etl_spark.operators.pairs import RESPONSE_ROLES
 
 PAIRS_OUT = StructType(
     [

@@ -67,6 +67,7 @@ def test_units_explode(micro):
     # empty text still yields exactly one unit
     empty = u.where((F.col("conv_id") == "conv_c") & (F.col("turn_idx") == 0)).collect()
     assert len(empty) == 1 and empty[0]["payload"] == ""
+    assert empty[0]["details"]["span_tokens"] == "0"
 
 
 def test_effects_rules(micro):
@@ -154,6 +155,10 @@ def test_time_range_clamps(micro):
     assert r["n_turns"] == 9
     r2 = time_range(micro, "2026-01-01 00:00:15", "2026-01-01 00:00:35").collect()[0]
     assert r2["n_turns"] == 2  # turns at 00:00:20 and 00:00:30
+    # requested range entirely before the data: clamps to the earliest
+    # boundary instant (closest-boundary semantics), never an all-null row
+    r3 = time_range(micro, "2020-01-01", "2020-02-01").collect()[0]
+    assert r3["start_ts"] is not None and r3["n_turns"] >= 1
 
 
 def test_salted_conversations_equivalent(micro, spark):

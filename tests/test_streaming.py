@@ -206,7 +206,7 @@ def test_validate_rows_lenient_and_strict(spark):
     valid, rejected = validate_rows(df, strict=False)
     assert valid.count() == 1
     reasons = sorted(r["_reject_reason"] for r in rejected.collect())
-    assert reasons == ["negative turn_idx", "null conv_id", "unknown role"]
+    assert reasons == ["invalid turn_idx", "null conv_id", "unknown role"]
 
     strict_df, _ = validate_rows(df, strict=True)
     with pytest.raises(Exception, match="strict-export"):
