@@ -57,10 +57,12 @@ def extract_tool_diffs(df: DataFrame, window: str = "5 minutes") -> DataFrame:
             )
         ).alias("c"),
     )
+    # no trailing orderBy: a global sort is a full extra shuffle at scale and
+    # row order is not part of the operator's contract
     return changes.select(
         "conv_id",
         "window_start",
         "window_end",
         F.col("c.tool").alias("tool"),
         F.col("c.change").alias("change"),
-    ).orderBy("conv_id", "window_start", "change", "tool")
+    )

@@ -45,3 +45,40 @@ def test_export_changes_compacts(spark, tmp_path, capsys):
     )
     # per-batch ChangeCompactor: one row per conversation per epoch
     assert changes.select("conv_id").distinct().count() == 15
+
+
+def test_export_all_per_table_keys(spark, tmp_path, capsys):
+    src = str(tmp_path / "src")
+    jobs.main(["generate", "--out", src, "--n-convs", "10"])
+    gen = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    jobs.main(["export_all", "--source", src, "--sink", str(tmp_path / "all"),
+               "--checkpoint", str(tmp_path / "ck")])
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert counts["turns"] == gen["written"]
+    # units/effects fan out beyond one row per turn — the per-table merge
+    # keys must preserve them
+    assert counts["units"] > gen["written"]
+
+
+def test_lenient_cli_routes_rejected(spark, tmp_path, capsys):
+    import pyspark.sql.functions as F
+
+    from stellar_etl_spark.generator import transcripts_df, write_transcripts
+
+    good = transcripts_df(spark, n_convs=8)
+    bad = spark.createDataFrame(
+        [(None, 0, "user", "x", None, "2026-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "src")
+    write_transcripts(good.unionByName(bad), src)
+    jobs.main(["export_turns", "--lenient", "--source", src,
+               "--sink", str(tmp_path / "t"), "--checkpoint", str(tmp_path / "ck")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rejected_rows"] == 1
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="unsupported"):
+        jobs.main(["export_pairs", "--lenient", "--source", src,
+                   "--sink", str(tmp_path / "p"), "--checkpoint", str(tmp_path / "ck2")])
