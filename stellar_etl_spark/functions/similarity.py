@@ -76,47 +76,81 @@ def embedding_near_dups(
     min_sim: float = 0.6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with cosine
-    similarity >= min_sim.
+    similarity >= min_sim. Exact (recall 1), fully distributed.
 
-    Dense all-pairs similarity is BLAS work, not expression-tree work: one
-    side is broadcast as a numpy matrix and each Arrow batch of the other
-    side does a single matrix multiply inside ``mapInPandas`` (measured ~40x
-    faster than the Column-expression cosine at 2k vectors). The broadcast
-    side must fit in executor memory — at corpus scale the LSH-bucketed
-    variant generates candidates first and this runs per bucket / per block
-    of a block-partitioned corpus."""
+    Blocked all-pairs: rows hash into ``num_blocks`` blocks; each unordered
+    block pair (bi <= bj) becomes one task holding both blocks' vectors, and
+    the per-task work is a single numpy matmul inside ``applyInPandas``
+    (BLAS, not expression-tree work — measured ~40x faster than the
+    Column-expression cosine at 2k vectors). Nothing ever reaches the driver.
+
+    Scale shape: exact all-pairs is inherently O(n^2) total compute; the
+    blocked layout makes it O(n^2 / B^2) compute and O(2n/B) memory per task
+    with B(B+1)/2-way parallelism, shuffling n*B vector rows once. At real
+    corpus scale set ``num_blocks ~ n / 50_000``; for approximate-but-cheaper
+    candidates at high thresholds use the LSH route (:func:`lsh_topk` /
+    ``simhash_near_dups``) instead.
+
+    Threshold comparison uses the UNROUNDED similarity (the reported ``sim``
+    is rounded to 6 for display) so engines that round half-away-from-zero
+    vs half-even cannot disagree on inclusion at the boundary."""
     import numpy as np
     import pandas as pd
 
+    B = int(num_blocks)
     rows = corpus.select(F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v"))
-    local = rows.collect()
-    if not local:
-        return corpus.sparkSession.createDataFrame([], "id_a long, id_b long, sim double")
-    ids = np.array([r["id"] for r in local], dtype=np.int64)
-    mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in local])
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = corpus.sparkSession.sparkContext.broadcast((ids, mat, norms))
+    tasks = (
+        rows.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(B)).cast("int"))
+        .withColumn("partner", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .select(
+            F.least("blk", "partner").alias("bi"),
+            F.greatest("blk", "partner").alias("bj"),
+            "blk",
+            "id",
+            "v",
+        )
+    )
 
-    def fn(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            a_ids = pdf["id"].to_numpy(dtype=np.int64)
-            a_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            # same formula as the Column form: dot / (|a||b| + eps), round 6
-            sims = np.round(
-                (a_mat @ b_mat.T) / (np.outer(a_norms, b_norms) + _EPS), 6
-            )
-            ai, bi = np.nonzero((sims >= min_sim) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": b_ids[bi], "sim": sims[ai, bi]}
-            )
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "sim": np.array([], dtype=np.float64),
+            }
+        )
+        if pdf.empty:
+            return empty
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        if bi == bj:
+            a_ids, a_mat, a_norms = ids, mat, norms
+            b_ids, b_mat, b_norms = ids, mat, norms
+        else:
+            am = pdf["blk"].to_numpy() == bi
+            a_ids, a_mat, a_norms = ids[am], mat[am], norms[am]
+            b_ids, b_mat, b_norms = ids[~am], mat[~am], norms[~am]
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            return empty
+        sims = (a_mat @ b_mat.T) / (np.outer(a_norms, b_norms) + _EPS)
+        if bi == bj:
+            # each unordered pair appears twice in the square matrix: keep the
+            # upper triangle by id
+            ai, bx = np.nonzero((sims >= min_sim) & (a_ids[:, None] < b_ids[None, :]))
+            id_a, id_b = a_ids[ai], b_ids[bx]
+        else:
+            # cross-block pairs appear exactly once; orient by id
+            ai, bx = np.nonzero(sims >= min_sim)
+            id_a = np.minimum(a_ids[ai], b_ids[bx])
+            id_b = np.maximum(a_ids[ai], b_ids[bx])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "sim": np.round(sims[ai, bx], 6)})
 
-    return rows.mapInPandas(fn, "id_a long, id_b long, sim double")
+    return tasks.groupBy("bi", "bj").applyInPandas(fn, "id_a long, id_b long, sim double")
 
 
 def hyperplane_signature(vec: Column, dim: int, bits: int = 16, seed: int = 42) -> Column:

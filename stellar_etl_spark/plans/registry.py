@@ -548,8 +548,8 @@ SQL_EMBEDDING_NEAR_DUPS = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.vec, b.vec)
-      / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)) + 1e-12), 6)
+WHERE list_dot_product(a.vec, b.vec)
+      / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)) + 1e-12)
       >= 0.5
 """
 

@@ -75,6 +75,53 @@ def test_cosine_topk_exact(spark):
             assert res[(q, rank)] == nid, (q, rank)
 
 
+def test_embedding_near_dups_blocked_exact(spark):
+    """Blocked all-pairs matches the numpy brute force exactly (recall 1),
+    across several block counts (cross-block and same-block pairs)."""
+    import numpy as np
+
+    from stellar_etl_spark.functions.similarity import embedding_near_dups
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 8).astype("float64")
+    # plant near-dups so some pairs clear the threshold
+    vecs[11] = vecs[3] + 0.05 * rng.randn(8)
+    vecs[42] = vecs[17] + 0.05 * rng.randn(8)
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    want = {
+        (a, b)
+        for a in range(60)
+        for b in range(a + 1, 60)
+        if sims[a, b] >= 0.6
+    }
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for blocks in (1, 4, 7):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dups(emb, min_sim=0.6, num_blocks=blocks).collect()
+        }
+        assert got == want, blocks
+
+
+def test_embedding_near_dups_distributed_plan(spark):
+    """The near-dup operator must never materialize the corpus on the driver:
+    no .collect()/.toPandas() in its source, and the plan is a grouped-map
+    pandas exec over the block-pair shuffle."""
+    import inspect
+
+    from stellar_etl_spark.functions import similarity
+    from stellar_etl_spark.functions.similarity import embedding_near_dups
+
+    src = inspect.getsource(similarity.embedding_near_dups)
+    assert ".collect(" not in src and ".toPandas(" not in src
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    plan = embedding_near_dups(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+
+
 def test_lsh_topk_recall(spark):
     import numpy as np
 
