@@ -204,6 +204,125 @@ def simhash_rows(
     return votes.select("id", packed.alias("sh"))
 
 
+# --------------------------------------------------------------------------
+# Portable SimHash: gram hashes from md5 hex halves (32+32 bits) instead of
+# xxhash64, signature kept as two 32-bit halves — every step is reproducible
+# in any engine with md5 + bit ops, so a DuckDB oracle can recompute the
+# exact hamming<=h relation (plans/registry.py builds the mirroring SQL).
+# Same plan shape as the xxhash64 path; use that one at scale.
+# --------------------------------------------------------------------------
+def shingle_text_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, gram) — one row per k-shingle OCCURRENCE, gram as text.
+
+    Same relational shape as :func:`shingle_hash_rows` (posexplode → lead
+    window, codegen) but carrying the gram string: docs shorter than k words
+    emit one truncated gram of their available words (``concat_ws`` skips the
+    null leads), so every doc emits >=1 gram (the empty doc's gram is '')."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(normalized(F.col(text_col)), " ")).alias("pos", "w"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    lead_cols = [F.lead("w", j).over(w).alias(f"w{j}") for j in range(1, k)]
+    ww = words.select("id", "pos", F.col("w").alias("w0"), *lead_cols)
+    full = F.col(f"w{k - 1}").isNotNull()
+    keep = full | ((F.col("pos") == 0) & F.col(f"w{k - 1}").isNull())
+    gram = F.concat_ws(" ", *[F.col(f"w{j}") for j in range(k)])
+    return ww.where(keep).select("id", gram.alias("gram"))
+
+
+def _md5_half(col: Column, start: int) -> Column:
+    """32 bits of md5(col) as a long, from hex chars [start, start+8)."""
+    return F.conv(F.substring(F.md5(col), start, 8), 16, 10).cast("long")
+
+
+def simhash_rows_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, sig_hi, sig_lo): 64-bit SimHash as two 32-bit halves, gram hashes
+    from md5 — one groupBy with 64 map-side-partial vote sums, then bit-pack.
+    Fully codegen, cross-engine reproducible."""
+    gh = shingle_text_rows(df, text_col, id_col, k).select(
+        "id",
+        _md5_half(F.col("gram"), 1).alias("h_hi"),
+        _md5_half(F.col("gram"), 9).alias("h_lo"),
+    )
+    vote = lambda h, b: F.sum(  # noqa: E731
+        F.when(
+            F.shiftrightunsigned(F.col(h), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+    )
+    votes = gh.groupBy("id").agg(
+        *[vote("h_hi", b).alias(f"vh{b}") for b in range(32)],
+        *[vote("h_lo", b).alias(f"vl{b}") for b in range(32)],
+    )
+
+    def pack(prefix: str) -> Column:
+        out = F.lit(0).cast("long")
+        for b in range(32):
+            out = out.bitwiseOR(
+                F.when(F.col(f"{prefix}{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        return out
+
+    return votes.select("id", pack("vh").alias("sig_hi"), pack("vl").alias("sig_lo"))
+
+
+def simhash_near_dups_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) for portable-SimHash hamming <= max_hamming.
+
+    Candidates via 4x16-bit block banding (pigeonhole: hamming <= 3 implies
+    at least one equal block — recall exactly 1), verified with bit_count on
+    the halves. Shuffle carries (block, id, sig) only."""
+    sigs = simhash_rows_portable(df, text_col, id_col, k)
+    blocks = sigs.select(
+        "id",
+        "sig_hi",
+        "sig_lo",
+        F.posexplode(
+            F.array(
+                F.shiftrightunsigned(F.col("sig_hi"), 16).bitwiseAND(F.lit(0xFFFF)),
+                F.col("sig_hi").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftrightunsigned(F.col("sig_lo"), 16).bitwiseAND(F.lit(0xFFFF)),
+                F.col("sig_lo").bitwiseAND(F.lit(0xFFFF)),
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                F.bit_count(F.col("a.sig_hi").bitwiseXOR(F.col("b.sig_hi")))
+                + F.bit_count(F.col("a.sig_lo").bitwiseXOR(F.col("b.sig_lo")))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cands.where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",

@@ -175,6 +175,21 @@ def hyperplane_signature(vec: Column, dim: int, bits: int = 16, seed: int = 42) 
     return out
 
 
+def _probe_masks(bits: int, radius: int) -> list[int]:
+    """All XOR masks within Hamming distance ``radius`` of 0 over ``bits``
+    bits (mask 0 = the home bucket), in deterministic order."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for positions in combinations(range(bits), r):
+            m = 0
+            for p in positions:
+                m |= 1 << p
+            masks.append(m)
+    return masks
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -184,16 +199,107 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: join query and corpus on the LSH bucket, rank within
-    bucket. Recall grows with fewer bits (bigger buckets); production would
-    multi-probe — here single-probe keeps the plan to one equi-join."""
+    bucket. ``probe_hamming`` > 0 multi-probes: each query additionally scans
+    every bucket within that Hamming distance of its own (the standard
+    recall amplifier — probes cost sum_{r<=R} C(bits, r) extra equi-join keys
+    on the tiny query side only; the corpus is still hashed once)."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cvec")
     ).withColumn("bucket", hyperplane_signature(F.col("cvec"), dim, bits, seed))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qvec")
     ).withColumn("bucket", hyperplane_signature(F.col("qvec"), dim, bits, seed))
+    if probe_hamming > 0:
+        masks = _probe_masks(bits, probe_hamming)
+        q = q.select(
+            "query_id",
+            "qvec",
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m).cast("long")) for m in masks])
+            ).alias("bucket"),
+        )
+    # a corpus row lives in exactly one bucket and probe keys are distinct, so
+    # no (query, neighbor) pair can match twice — no dedup needed
+    scored = c.join(F.broadcast(q), "bucket").where(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# Portable (cross-engine reproducible) LSH: the hyperplanes are a fixed ±1
+# matrix derived from md5, materialized as literals on BOTH engines, so a SQL
+# oracle can recompute the exact same buckets. Functionally identical to the
+# xxhash64 path above — use that one at scale (planes never materialize).
+# --------------------------------------------------------------------------
+def portable_planes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5(seed:b:i) — computable by any
+    engine with md5, and small enough (bits x dim) to inline as literals."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{seed}:{b}:{i}".encode()).digest()[0] & 1 == 0 else -1.0
+            for i in range(dim)
+        ]
+        for b in range(bits)
+    ]
+
+
+def planes_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH signature against literal hyperplanes: bit b = sign(<v, planes[b]>)."""
+    out = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        out = out.bitwiseOR(
+            F.when(_dot(vec, arr) > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def lsh_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Multi-probe LSH top-k over :func:`portable_planes` — same plan shape as
+    :func:`lsh_topk`, but the buckets are reproducible in the DuckDB oracle
+    (plans/registry.py builds the mirroring SQL from the same plane matrix)."""
+    planes = portable_planes(dim, bits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cvec")
+    ).withColumn("bucket", planes_signature(F.col("cvec"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qvec")
+    ).withColumn("bucket", planes_signature(F.col("qvec"), planes))
+    masks = _probe_masks(bits, probe_hamming)
+    q = q.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m).cast("long")) for m in masks])
+        ).alias("bucket"),
+    )
     scored = c.join(F.broadcast(q), "bucket").where(
         F.col("neighbor_id") != F.col("query_id")
     ).select(

@@ -779,41 +779,175 @@ def q_conversations_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- near-dup / approx queries (no SQL oracle: hash-function-specific) ------
+# --- near-dup / approx queries ----------------------------------------------
 def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH candidates + exact-Jaccard verify. The VERIFIED output is
+    hash-free — exact 3-gram Jaccard — so the oracle brute-forces all pairs;
+    a hash mismatch would surface any LSH recall miss as a hard failure."""
     from stellar_etl_spark.functions.dedup import minhash_candidate_pairs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_candidate_pairs(d, min_jaccard=0.4)
 
 
+# Brute-force mirror of shingles()/jaccard_ngrams (functions/text.py:140-154):
+# k=3 word shingles of the normalized text (docs with <=3 words yield one
+# whole-text shingle), DISTINCT sets, unrounded double division — identical
+# integer counts on both engines make the double bit-exact.
+SQL_DOC_MINHASH_PAIRS = f"""
+WITH norm AS (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+         ELSE [array_to_string(w[i+1:i+3], ' ') FOR i IN range(0, len(w)-2)] END AS gs
+  FROM norm
+),
+sets AS (SELECT doc_id, list_distinct(gs) AS gs FROM grams),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    len(list_intersect(a.gs, b.gs)) AS i,
+    len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS u
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(i AS DOUBLE)/CAST(u AS DOUBLE) AS jaccard FROM pairs
+WHERE CAST(i AS DOUBLE)/CAST(u AS DOUBLE) >= 0.4
+"""
+
+
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stellar_etl_spark.functions.dedup import simhash_near_dups
+    """Portable SimHash near-dups: md5-derived gram hashes and 2x32-bit
+    signature halves are recomputable in DuckDB, so the full hamming<=3
+    relation (candidates via 4x16-bit block pigeonhole, recall exactly 1)
+    is oracle-checked end-to-end. The xxhash64 variant
+    (functions/dedup.py:simhash_near_dups) is the scale-default."""
+    from stellar_etl_spark.functions.dedup import simhash_near_dups_portable
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # 4x16-bit block banding guarantees recall only for hamming <= 3
-    return simhash_near_dups(d, max_hamming=3)
+    return simhash_near_dups_portable(d, max_hamming=3, k=3)
+
+
+def _sql_simhash_portable(max_hamming: int = 3) -> str:
+    """DuckDB mirror of simhash_rows_portable + all-pairs hamming: same md5
+    hex-half gram hashes, same 64 vote sums, same bit pack."""
+    vh = ",\n    ".join(
+        f"sum(CASE WHEN (h_hi >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS vh{b}" for b in range(32)
+    )
+    vl = ",\n    ".join(
+        f"sum(CASE WHEN (h_lo >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS vl{b}" for b in range(32)
+    )
+    pack_hi = " + ".join(f"(CASE WHEN vh{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    pack_lo = " + ".join(f"(CASE WHEN vl{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    return f"""
+WITH norm AS (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE [array_to_string(w[i+1:i+3], ' ') FOR i IN range(0, len(w)-2)] END AS gs
+  FROM norm
+),
+g AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+gh AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h_hi,
+    ('0x' || substr(md5(gram), 9, 8))::BIGINT AS h_lo
+  FROM g
+),
+votes AS (
+  SELECT doc_id,
+    {vh},
+    {vl}
+  FROM gh GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, {pack_hi} AS sig_hi, {pack_lo} AS sig_lo FROM votes),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    bit_count(xor(a.sig_hi, b.sig_hi)) + bit_count(xor(a.sig_lo, b.sig_lo)) AS hamming
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM pairs
+WHERE hamming <= {max_hamming}
+"""
+
+
+SQL_DOC_SIMHASH_PAIRS = _sql_simhash_portable(3)
 
 
 def q_strkey_handles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7: vectorized pandas-UDF strkey encode/decode round trip over the
-    conversation ids (no SQL oracle — the checksummed base32 encoding is
-    engine-specific; the round-trip equality below is the invariant and
-    tests/test_functions_misc.py pins it)."""
+    conversation ids. The oracle-checked invariant: every distinct conv_id
+    survives the round trip (the output below equals DISTINCT conv_id exactly
+    iff no id was lost or corrupted); the handle bytes themselves are pinned
+    by tests/test_functions_misc.py golden assertions."""
     from stellar_etl_spark.functions.encoding import strkey_decode, strkey_encode
 
     tv = transcripts_from_events(spark, sf_dir).select("conv_id").distinct()
     enc = tv.withColumn("handle", strkey_encode(F.col("conv_id")))
-    return enc.withColumn("decoded", strkey_decode(F.col("handle"))).where(
-        F.col("decoded") == F.col("conv_id")
+    return (
+        enc.withColumn("decoded", strkey_decode(F.col("handle")))
+        .where(F.col("decoded") == F.col("conv_id"))
+        .select("conv_id")
     )
 
 
+SQL_STRKEY_HANDLES = f"""{TRANSCRIPTS_CTE}
+SELECT DISTINCT conv_id FROM transcripts
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stellar_etl_spark.functions.similarity import lsh_topk
+    """Multi-probe LSH top-k over portable (md5-literal) hyperplanes — the
+    oracle rebuilds the same buckets and probe set in SQL, so bucketing,
+    probing, and ranking are all hash-checked (not just recall-sampled)."""
+    from stellar_etl_spark.functions.similarity import lsh_topk_portable
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(emb, emb.where(F.col("vec_id") < 5), dim=64, k=10, bits=8)
+    out = lsh_topk_portable(
+        emb, emb.where(F.col("vec_id") < 5), dim=64, k=10, bits=8, probe_hamming=1
+    )
+    return out.select("query_id", "rank", "neighbor_id")
+
+
+def _sql_lsh_topk_portable(
+    dim: int = 64, bits: int = 8, seed: int = 42, k: int = 10, probe_hamming: int = 1
+) -> str:
+    from stellar_etl_spark.functions.similarity import _probe_masks, portable_planes
+
+    planes = portable_planes(dim, bits, seed)
+
+    def sig(vcol: str) -> str:
+        terms = []
+        for b, plane in enumerate(planes):
+            lits = ", ".join(str(x) for x in plane)
+            terms.append(
+                f"(CASE WHEN list_dot_product({vcol}, [{lits}]) > 0 THEN {1 << b} ELSE 0 END)"
+            )
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+    masks = _probe_masks(bits, probe_hamming)
+    probes = ", ".join(f"xor(bucket, CAST({m} AS BIGINT))" if m else "bucket" for m in masks)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+qs AS (SELECT query_id, qv, {sig('qv')} AS bucket FROM q),
+cs AS (SELECT neighbor_id, cv, {sig('cv')} AS bucket FROM c),
+probes AS (SELECT query_id, qv, unnest([{probes}]) AS bucket FROM qs),
+s AS (
+  SELECT query_id, neighbor_id,
+    round(list_dot_product(qv, cv)
+      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) + 1e-12), 6) AS sim
+  FROM cs JOIN probes USING (bucket)
+  WHERE neighbor_id <> query_id
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s
+)
+WHERE rank <= {k}
+"""
+
+
+SQL_ANN_LSH_TOPK = _sql_lsh_topk_portable()
 
 
 # ---------------------------------------------------------------------------
@@ -849,11 +983,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "conversations_sliding": (q_conversations_sliding, SQL_CONVERSATIONS_SLIDING),
     "structured_payload": (q_structured_payload, SQL_STRUCTURED_PAYLOAD),
     "conversations_salted": (q_conversations_salted, SQL_CONVERSATIONS),
-    # approx/hash-specific ops: driver records rows-only checks (no oracle)
-    "doc_minhash_pairs": (q_doc_minhash_pairs, None),
-    "strkey_handles": (q_strkey_handles, None),
-    "doc_simhash_pairs": (q_doc_simhash_pairs, None),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    # near-dup / approx ops: verified outputs (or portable-hash variants) are
+    # engine-independent, so these carry full oracles too
+    "doc_minhash_pairs": (q_doc_minhash_pairs, SQL_DOC_MINHASH_PAIRS),
+    "strkey_handles": (q_strkey_handles, SQL_STRKEY_HANDLES),
+    "doc_simhash_pairs": (q_doc_simhash_pairs, SQL_DOC_SIMHASH_PAIRS),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
 }
 
 
