@@ -71,96 +71,137 @@ def _pairs_fn(max_lag_sec: int):
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         conv_id = key[0]
         if state.exists:
-            turn_idx, role, ts_us, text = state.get
-            buf = list(zip(turn_idx, role, ts_us, text))
+            t0, r0, u0, x0 = state.get
+            turn = np.asarray(t0, dtype=np.int64)
+            role = np.asarray(r0, dtype=object)
+            ts_us = np.asarray(u0, dtype=np.int64)
+            text = np.asarray(x0, dtype=object)
         else:
-            buf = []
+            turn = np.empty(0, np.int64)
+            role = np.empty(0, object)
+            ts_us = np.empty(0, np.int64)
+            text = np.empty(0, object)
 
         if not state.hasTimedOut:
             for pdf in pdfs:
                 if pdf.empty:
                     continue
-                ts_us_new = pdf["ts"].astype("int64") // 1000  # ns -> us
-                for t, r, u, x in zip(
-                    pdf["turn_idx"], pdf["role"], ts_us_new, pdf["text"]
-                ):
-                    if r == "user" or r in RESPONSE_ROLES:
-                        buf.append((int(t), r, int(u), None if x is None else str(x)))
+                m = (pdf["role"] == "user") | pdf["role"].isin(RESPONSE_ROLES)
+                pdf = pdf[m]
+                if pdf.empty:
+                    continue
+                turn = np.concatenate([turn, pdf["turn_idx"].to_numpy(np.int64)])
+                role = np.concatenate([role, pdf["role"].to_numpy(dtype=object)])
+                ts_us = np.concatenate(
+                    [ts_us, (pdf["ts"].astype("int64") // 1000).to_numpy(np.int64)]
+                )
+                text = np.concatenate([text, pdf["text"].to_numpy(dtype=object)])
         else:
             # consume the (empty) iterator per API contract
             for _ in pdfs:
                 pass
 
         wm_us = state.getCurrentWatermarkMs() * 1000
-        buf.sort(key=lambda b: b[0])  # turn order
+        order = np.argsort(turn, kind="stable")  # turn order
+        turn, role, ts_us, text = turn[order], role[order], ts_us[order], text[order]
 
-        out_rows = []
-        keep = []
-        responses = [b for b in buf if b[1] in RESPONSE_ROLES]
-        for b in buf:
-            t, r, u, x = b
-            if r == "user" and u + lag_us <= wm_us:
-                # response set complete: emit final pair
-                match = next(
-                    (
-                        rb
-                        for rb in responses
-                        if rb[0] > t and u <= rb[2] <= u + lag_us
-                    ),
-                    None,
-                )
-                out_rows.append(
-                    {
-                        "conv_id": conv_id,
-                        "user_turn_idx": t,
-                        "user_ts": pd.Timestamp(u, unit="us"),
-                        "user_text": x,
-                        "resp_turn_idx": match[0] if match else None,
-                        "resp_role": match[1] if match else None,
-                        "resp_ts": pd.Timestamp(match[2], unit="us") if match else None,
-                        "resp_text": match[3] if match else None,
-                        "latency_sec": float(match[2] // 1_000_000 - u // 1_000_000)
-                        if match
-                        else None,
-                    }
-                )
-            else:
-                keep.append(b)
+        is_user = role == "user"
+        # buffered rows are only user|response, so responses = the complement;
+        # they inherit turn-sorted order
+        rt, ru = turn[~is_user], ts_us[~is_user]
+        rrole, rtext = role[~is_user], text[~is_user]
+
+        # response set complete once the watermark passes user_ts + lag
+        emit = is_user & (ts_us + lag_us <= wm_us)
+        eidx = np.nonzero(emit)[0]
+
+        out = None
+        if len(eidx):
+            t_e, u_e = turn[eidx], ts_us[eidx]
+            match_pos = np.full(len(eidx), -1, np.int64)
+            if len(rt):
+                # match = MIN resp turn_idx with rt > t and u <= ru <= u+lag
+                start = np.searchsorted(rt, t_e, side="right")
+                if np.all(np.diff(ru) >= 0):
+                    # fast path: response event time monotone in turn order —
+                    # the valid window is an index interval, two searchsorteds
+                    a = np.searchsorted(ru, u_e, side="left")
+                    b = np.searchsorted(ru, u_e + lag_us, side="right")
+                    first = np.maximum(start, a)
+                    ok = first < b
+                    match_pos[ok] = first[ok]
+                else:
+                    # disorder broke ts monotonicity: chunked C-speed scan,
+                    # memory bounded at CH * len(rt) bools
+                    CH = 512
+                    for c0 in range(0, len(eidx), CH):
+                        sl = slice(c0, min(c0 + CH, len(eidx)))
+                        m = (
+                            (rt[None, :] > t_e[sl][:, None])
+                            & (ru[None, :] >= u_e[sl][:, None])
+                            & (ru[None, :] <= (u_e[sl] + lag_us)[:, None])
+                        )
+                        any_ = m.any(axis=1)
+                        match_pos[sl] = np.where(any_, m.argmax(axis=1), -1)
+            has = match_pos >= 0
+            mp = np.where(has, match_pos, 0)
+
+            def nullable(vals: np.ndarray) -> np.ndarray:
+                o = vals.astype(object)
+                o[~has] = None
+                return o
+
+            resp_ts = pd.Series(pd.to_datetime(ru[mp], unit="us"))
+            resp_ts[~has] = pd.NaT
+            latency = np.where(
+                has, (ru[mp] // 1_000_000 - u_e // 1_000_000).astype(np.float64), np.nan
+            )
+            out = pd.DataFrame(
+                {
+                    "conv_id": np.repeat(conv_id, len(eidx)),
+                    "user_turn_idx": t_e,
+                    "user_ts": pd.to_datetime(u_e, unit="us"),
+                    "user_text": text[eidx],
+                    "resp_turn_idx": nullable(rt[mp]),
+                    "resp_role": nullable(rrole[mp]),
+                    "resp_ts": resp_ts,
+                    "resp_text": nullable(rtext[mp]),
+                    "latency_sec": latency,
+                }
+            )
 
         # Evict responses no future/pending user turn can reference:
         # pending users have ts > wm - lag; future users have ts >= wm.
-        min_pending_user_us = min(
-            (b[2] for b in keep if b[1] == "user"), default=wm_us
-        )
-        keep = [
-            b
-            for b in keep
-            if b[1] == "user" or b[2] >= min(min_pending_user_us, wm_us)
-        ]
+        keep = ~emit
+        pending_user = is_user & keep
+        min_pending_user_us = ts_us[pending_user].min() if pending_user.any() else wm_us
+        keep &= is_user | (ts_us >= min(min_pending_user_us, wm_us))
 
-        if keep:
+        if keep.any():
             state.update(
                 (
-                    [b[0] for b in keep],
-                    [b[1] for b in keep],
-                    [b[2] for b in keep],
-                    [b[3] for b in keep],
+                    turn[keep].tolist(),
+                    role[keep].tolist(),
+                    ts_us[keep].tolist(),
+                    text[keep].tolist(),
                 )
             )
-            pending_user = [b[2] for b in keep if b[1] == "user"]
-            if pending_user:
-                next_fire_us = min(pending_user) + lag_us
+            ku, kuser = ts_us[keep], is_user[keep]
+            if kuser.any():
+                next_fire_us = ku[kuser].min() + lag_us
             else:
-                next_fire_us = max(b[2] for b in keep) + lag_us
+                next_fire_us = ku.max() + lag_us
             # timeout must be strictly beyond the current watermark
-            state.setTimeoutTimestamp(max(next_fire_us // 1000 + 1, wm_us // 1000 + 1))
+            state.setTimeoutTimestamp(max(int(next_fire_us) // 1000 + 1, wm_us // 1000 + 1))
         else:
             state.remove()
 
-        if out_rows:
-            yield pd.DataFrame(out_rows)
+        if out is not None:
+            yield out
 
     return fn
 
