@@ -63,7 +63,11 @@ def extract_units(
 
     # The per-type details switch (operation.go:584-1184): map keys depend on
     # the unit type AND the tool kind, exactly like the reference's op-type-
-    # specific details maps (27-way switch there; per-tool here).
+    # specific details maps (27-way switch there; one arm per tool kind +
+    # span-level signals here). Every value is engine-portable (the
+    # `units_details` oracle recomputes each one in SQL).
+    has_unicode = (F.octet_length(payload) != F.length(payload)).cast("string")
+    n_digits = F.length(F.regexp_replace(payload, "[^0-9]", "")).cast("string")
     tool_extra = (
         F.when(
             F.col("tool") == "search",
@@ -75,9 +79,19 @@ def extract_units(
         )
         .when(
             F.col("tool") == "calc",
+            F.create_map(F.lit("n_digits"), n_digits),
+        )
+        .when(
+            F.col("tool") == "fetch",
+            # byte size is the fetch-payload signal (differs from n_chars on
+            # multibyte text)
+            F.create_map(F.lit("payload_bytes"), F.octet_length(payload).cast("string")),
+        )
+        .when(
+            F.col("tool") == "browse",
             F.create_map(
-                F.lit("n_digits"),
-                F.length(F.regexp_replace(payload, "[^0-9]", "")).cast("string"),
+                F.lit("n_unique_tokens"),
+                F.size(F.array_distinct(textfn.tokens(payload))).cast("string"),
             ),
         )
         .otherwise(F.create_map().cast("map<string,string>"))
@@ -97,6 +111,8 @@ def extract_units(
             # token_count, not raw split: F.split('') returns [''] (size 1)
             F.lit("span_tokens"), textfn.token_count(payload).cast("string"),
             F.lit("span_chars"), F.length(payload).cast("string"),
+            F.lit("has_unicode"), has_unicode,
+            F.lit("n_digits"), n_digits,
         )
     )
 

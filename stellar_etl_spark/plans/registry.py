@@ -200,6 +200,77 @@ FROM expl
 """
 
 
+# --- T4 per-type details (operation.go:584-1184 switch breadth) --------------
+_DETAIL_KEYS = [
+    "tool", "args_sha256", "failed", "n_terms", "n_lines", "n_digits",
+    "payload_bytes", "n_unique_tokens", "span_tokens", "span_chars", "has_unicode",
+]
+
+
+def q_units_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide projection of the per-unit-type details switch: one nullable
+    column per detail key (map cells don't hash portably; typed columns do).
+    Exercises every arm — 5 tool kinds + span — against the oracle."""
+    units = extract_units(transcripts_from_events(spark, sf_dir), conv_seq=_seq())
+    return units.select(
+        "unit_id",
+        "conv_id",
+        "turn_idx",
+        "unit_idx",
+        "unit_type",
+        *[F.col("details")[k].alias(f"d_{k}") for k in _DETAIL_KEYS],
+        "ts",
+    )
+
+
+SQL_UNITS_DETAILS = f"""{TRANSCRIPTS_CTE},
+base AS (
+  SELECT *,
+    CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+    (role = 'tool') AS is_tool
+  FROM transcripts
+),
+expl AS (
+  SELECT *,
+    CAST(unnest(range(0, CASE WHEN is_tool THEN 1
+      ELSE greatest(CAST(ceil(len(toks) / 8.0) AS INTEGER), 1) END)) AS INTEGER) AS unit_idx
+  FROM base
+),
+withp AS (
+  SELECT *,
+    CASE WHEN is_tool THEN array_to_string(toks, ' ')
+         ELSE array_to_string(toks[unit_idx * 8 + 1 : unit_idx * 8 + 8], ' ') END AS payload
+  FROM expl
+)
+SELECT
+  {_SQL_TURN_ID} | CAST(unit_idx & 4095 AS BIGINT) AS unit_id,
+  conv_id,
+  turn_idx,
+  unit_idx,
+  CASE WHEN is_tool THEN 'tool_call' ELSE 'span' END AS unit_type,
+  CASE WHEN is_tool THEN coalesce(tool, '') END AS d_tool,
+  CASE WHEN is_tool THEN sha256(payload) END AS d_args_sha256,
+  CASE WHEN is_tool THEN CAST(starts_with(payload, 'error:') AS VARCHAR) END AS d_failed,
+  CASE WHEN is_tool AND tool = 'search' THEN CAST(CASE WHEN trim(payload) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(payload), '\\s+')) END AS VARCHAR) END AS d_n_terms,
+  CASE WHEN is_tool AND tool = 'code'
+       THEN CAST(len(string_split(payload, chr(10))) AS VARCHAR) END AS d_n_lines,
+  CASE WHEN (is_tool AND tool = 'calc') OR NOT is_tool
+       THEN CAST(length(regexp_replace(payload, '[^0-9]', '', 'g')) AS VARCHAR) END AS d_n_digits,
+  CASE WHEN is_tool AND tool = 'fetch' THEN CAST(strlen(payload) AS VARCHAR) END AS d_payload_bytes,
+  CASE WHEN is_tool AND tool = 'browse' THEN CAST(CASE WHEN trim(payload) = '' THEN 0
+       ELSE len(list_distinct(regexp_split_to_array(trim(payload), '\\s+'))) END AS VARCHAR)
+       END AS d_n_unique_tokens,
+  CASE WHEN NOT is_tool THEN CAST(CASE WHEN trim(payload) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(payload), '\\s+')) END AS VARCHAR) END AS d_span_tokens,
+  CASE WHEN NOT is_tool THEN CAST(length(payload) AS VARCHAR) END AS d_span_chars,
+  CASE WHEN NOT is_tool THEN CAST(strlen(payload) <> length(payload) AS VARCHAR) END AS d_has_unicode,
+  ts
+FROM withp
+"""
+
+
 # --- T5 effects -------------------------------------------------------------
 _EFFECT_COLS = [
     "effect_id", "turn_id", "conv_id", "turn_idx", "effect_index",
@@ -959,6 +1030,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "conversations": (q_conversations, SQL_CONVERSATIONS),
     "conversations_windowed": (q_conversations_windowed, SQL_CONVERSATIONS_WINDOWED),
     "units": (q_units, SQL_UNITS),
+    "units_details": (q_units_details, SQL_UNITS_DETAILS),
     "effects": (q_effects, SQL_EFFECTS),
     "pairs": (q_pairs, SQL_PAIRS),
     "sessions": (q_sessions, SQL_SESSIONS),

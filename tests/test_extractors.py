@@ -70,6 +70,30 @@ def test_units_explode(micro):
     assert empty[0]["details"]["span_tokens"] == "0"
 
 
+def test_units_details_all_tool_arms(spark):
+    """Every arm of the per-tool details switch produces its typed key."""
+    rows = [
+        ("c", 0, "tool", "alpha beta gamma", "search", "2026-01-01 00:00:00"),
+        ("c", 1, "tool", "print(1)", "code", "2026-01-01 00:00:10"),
+        ("c", 2, "tool", "result 42 and 7", "calc", "2026-01-01 00:00:20"),
+        ("c", 3, "tool", "données 東京", "fetch", "2026-01-01 00:00:30"),
+        ("c", 4, "tool", "a b a c b", "browse", "2026-01-01 00:00:40"),
+        ("c", 5, "assistant", "naïve reply 12", None, "2026-01-01 00:00:50"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = {r["turn_idx"]: r["details"] for r in extract_units(df).collect()}
+    assert d[0]["n_terms"] == "3"
+    assert d[1]["n_lines"] == "1"
+    assert d[2]["n_digits"] == "3"
+    # fetch: byte length > char length on multibyte text
+    assert int(d[3]["payload_bytes"]) > len("données 東京")
+    assert d[4]["n_unique_tokens"] == "3"
+    # span signals
+    assert d[5]["has_unicode"] == "true" and d[5]["n_digits"] == "2"
+
+
 def test_effects_rules(micro):
     e = extract_effects(micro, long_turn_tokens=8)
     by_turn = {}
