@@ -10,20 +10,35 @@ Spark-first shape: build a per-turn array of conditional effect structs,
 falls out of the post-filter position, and the whole emitter chain stays in
 whole-stage codegen (no UDTF, no Python).
 
-Effect rules (the emitter-table analog, deterministic on the row):
+Effect rules (the emitter-table analog). Codes 0-7 are row-local
+(:func:`extract_effects`, shuffle-free); codes 8-16 need per-conversation
+lag context and live in :func:`extract_effects_contextual` (one conv_id
+window pass — the CEP-flavored half of the emitter table):
 
-| code | type            | fires when                          |
-|------|-----------------|-------------------------------------|
-| 0    | turn_added      | every successful turn               |
-| 1    | tool_invoked    | successful tool turn                |
-| 2    | empty_text      | successful turn with empty text     |
-| 3    | long_turn       | successful turn with > 30 tokens    |
-| 4    | conversation_opened | successful turn with turn_idx == 0 |
+| code | type                | fires when (successful turns only)    |
+|------|---------------------|---------------------------------------|
+| 0    | turn_added          | every turn                            |
+| 1    | tool_invoked        | tool turn                             |
+| 2    | empty_text          | empty text                            |
+| 3    | long_turn           | > 30 tokens                           |
+| 4    | conversation_opened | turn_idx == 0                         |
+| 5    | unicode_text        | multibyte text (bytes != chars)       |
+| 6    | short_turn          | 1..3 tokens                           |
+| 7    | mixed_script        | ascii letters AND multibyte together  |
+| 8    | first_assistant     | first assistant turn of the conv      |
+| 9    | first_tool_use      | first tool turn of the conv           |
+| 10   | long_silence        | > 300 s since previous turn           |
+| 11   | session_resumed     | > 1800 s since previous turn          |
+| 12   | turn_burst          | <= 5 s since previous turn            |
+| 13   | tool_changed        | tool turn, differs from last tool     |
+| 14   | repeated_speaker    | same role as previous turn            |
+| 15   | assistant_after_tool| assistant preceded by a tool turn     |
+| 16   | conversation_closed | last turn of the conv                 |
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
 from stellar_etl_spark import toid as toid_mod
@@ -36,6 +51,18 @@ EFFECT_TYPES = {
     2: "empty_text",
     3: "long_turn",
     4: "conversation_opened",
+    5: "unicode_text",
+    6: "short_turn",
+    7: "mixed_script",
+    8: "first_assistant",
+    9: "first_tool_use",
+    10: "long_silence",
+    11: "session_resumed",
+    12: "turn_burst",
+    13: "tool_changed",
+    14: "repeated_speaker",
+    15: "assistant_after_tool",
+    16: "conversation_closed",
 }
 
 
@@ -50,16 +77,14 @@ def _effect(code: int, cond: Column, details: Column) -> Column:
     )
 
 
-def extract_effects(
-    df: DataFrame, long_turn_tokens: int = 30, conv_seq: Column | None = None
-) -> DataFrame:
-    """Fan transcripts out into the EFFECTS output schema."""
-    seq = conv_seq if conv_seq is not None else toid_mod.conv_seq("conv_id")
-    successful = is_successful(F.col("text"))
+def _row_local_emitters(long_turn_tokens: int) -> list[Column]:
+    """Emitters 0-7: deterministic on the row alone (shuffle-free)."""
     n_tokens = textfn.token_count(F.col("text"))
     empty = F.coalesce(F.col("text"), F.lit("")) == ""
-
-    emitters = F.array(
+    s = F.coalesce(F.col("text"), F.lit(""))
+    multibyte = F.octet_length(s) != F.length(s)
+    has_ascii_letter = s.rlike("[A-Za-z]")
+    return [
         _effect(
             0,
             F.lit(True),
@@ -77,20 +102,25 @@ def extract_effects(
             F.create_map(F.lit("n_tokens"), n_tokens.cast("string")),
         ),
         _effect(4, F.col("turn_idx") == 0, F.create_map(F.lit("role"), F.col("role"))),
-    )
+        _effect(5, multibyte, F.create_map(F.lit("role"), F.col("role"))),
+        _effect(
+            6,
+            (n_tokens >= 1) & (n_tokens <= 3),
+            F.create_map(F.lit("n_tokens"), n_tokens.cast("string")),
+        ),
+        _effect(7, multibyte & has_ascii_letter, F.create_map(F.lit("role"), F.col("role"))),
+    ]
 
-    fired = F.filter(emitters, lambda x: x.isNotNull())
 
-    # Failed turns emit nothing (effects.go:55-57) — filter BEFORE the explode
-    # so the excluded rows never materialize.
-    base = df.where(successful).select(
+def _explode_emitters(df: DataFrame, emitters: list[Column], seq: Column) -> DataFrame:
+    fired = F.filter(F.array(*emitters), lambda x: x.isNotNull())
+    base = df.select(
         "conv_id",
         "turn_idx",
         "ts",
         seq.alias("conv_seq"),
         F.posexplode(fired).alias("effect_index", "eff"),
     )
-
     turn_id = toid_mod.toid(F.col("conv_seq"), "turn_idx")
     return base.select(
         F.format_string("%d-%d", turn_id, F.col("effect_index")).alias("effect_id"),
@@ -103,3 +133,95 @@ def extract_effects(
         F.col("eff.details").alias("details"),
         "ts",
     )
+
+
+def extract_effects(
+    df: DataFrame, long_turn_tokens: int = 30, conv_seq: Column | None = None
+) -> DataFrame:
+    """Fan transcripts out into the EFFECTS output schema (row-local rules
+    0-7 — a narrow transform, no shuffle)."""
+    seq = conv_seq if conv_seq is not None else toid_mod.conv_seq("conv_id")
+    # Failed turns emit nothing (effects.go:55-57) — filter BEFORE the explode
+    # so the excluded rows never materialize.
+    return _explode_emitters(
+        df.where(is_successful(F.col("text"))),
+        _row_local_emitters(long_turn_tokens),
+        seq,
+    )
+
+
+def extract_effects_contextual(
+    df: DataFrame,
+    long_turn_tokens: int = 30,
+    silence_sec: int = 300,
+    resume_sec: int = 1800,
+    burst_sec: int = 5,
+    conv_seq: Column | None = None,
+) -> DataFrame:
+    """The full emitter table (0-16): row-local rules plus per-conversation
+    lag-context rules, over successful turns ordered by turn_idx.
+
+    One conv_id window pass supplies all the context (lag ts/role, last prior
+    tool, prior role counts, partition max) — the explode itself stays narrow,
+    so the plan is exactly one Exchange (pinned in tests/test_plans.py)."""
+    seq = conv_seq if conv_seq is not None else toid_mod.conv_seq("conv_id")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    base = df.where(is_successful(F.col("text"))).select(
+        "*",
+        F.lag("ts").over(w).alias("_prev_ts"),
+        F.lag("role").over(w).alias("_prev_role"),
+        F.last("tool", ignorenulls=True).over(w_prior).alias("_prev_tool"),
+        F.count(F.when(F.col("role") == "assistant", 1)).over(w_prior).alias("_n_prior_assistant"),
+        F.count(F.when(F.col("role") == "tool", 1)).over(w_prior).alias("_n_prior_tool"),
+        F.max("turn_idx").over(w_all).alias("_max_turn_idx"),
+    )
+    gap = (
+        F.floor(F.unix_timestamp("ts")) - F.floor(F.unix_timestamp("_prev_ts"))
+    ).cast("long")
+    gap_map = F.create_map(F.lit("gap_sec"), gap.cast("string"))
+    has_prev = F.col("_prev_ts").isNotNull()
+
+    contextual = [
+        _effect(
+            8,
+            (F.col("role") == "assistant") & (F.col("_n_prior_assistant") == 0),
+            F.create_map(F.lit("turn_idx"), F.col("turn_idx").cast("string")),
+        ),
+        _effect(
+            9,
+            (F.col("role") == "tool") & (F.col("_n_prior_tool") == 0),
+            F.create_map(F.lit("tool"), F.coalesce(F.col("tool"), F.lit(""))),
+        ),
+        _effect(10, has_prev & (gap > silence_sec), gap_map),
+        _effect(11, has_prev & (gap > resume_sec), gap_map),
+        _effect(12, has_prev & (gap <= burst_sec), gap_map),
+        _effect(
+            13,
+            (F.col("role") == "tool")
+            & F.col("_prev_tool").isNotNull()
+            & (F.col("_prev_tool") != F.coalesce(F.col("tool"), F.lit(""))),
+            F.create_map(
+                F.lit("from"), F.col("_prev_tool"),
+                F.lit("to"), F.coalesce(F.col("tool"), F.lit("")),
+            ),
+        ),
+        _effect(
+            14,
+            has_prev & (F.col("_prev_role") == F.col("role")),
+            F.create_map(F.lit("role"), F.col("role")),
+        ),
+        _effect(
+            15,
+            (F.col("role") == "assistant") & (F.col("_prev_role") == "tool"),
+            F.create_map(F.lit("role"), F.col("role")),
+        ),
+        _effect(
+            16,
+            F.col("turn_idx") == F.col("_max_turn_idx"),
+            F.create_map(F.lit("turn_idx"), F.col("turn_idx").cast("string")),
+        ),
+    ]
+    return _explode_emitters(base, _row_local_emitters(long_turn_tokens) + contextual, seq)

@@ -282,30 +282,86 @@ def q_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_effects(transcripts_from_events(spark, sf_dir), conv_seq=_seq()).select(*_EFFECT_COLS)
 
 
-SQL_EFFECTS = f"""{TRANSCRIPTS_CTE},
-base AS (
-  SELECT conv_id, turn_idx, ts,
-    {_SQL_TURN_ID} AS turn_id,
-    (role = 'tool') AS e1,
-    (coalesce(text, '') = '') AS e2,
-    ({_SQL_NTOK} > 30) AS e3,
-    (turn_idx = 0) AS e4,
-    role, tool,
-    {_SQL_NTOK} AS ntok
+def q_effects_contextual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full emitter table (row-local + lag-context CEP rules, codes 0-16)."""
+    from stellar_etl_spark.operators.effects import extract_effects_contextual
+
+    return extract_effects_contextual(
+        transcripts_from_events(spark, sf_dir), conv_seq=_seq()
+    ).select(*_EFFECT_COLS)
+
+
+# Emitter-table mirror (operators/effects.py docstring): (code, name, DuckDB
+# predicate). effect_index = count of lower-coded rules that also fired.
+_SQL_EFFECT_RULES = [
+    (0, "turn_added", "TRUE"),
+    (1, "tool_invoked", "role = 'tool'"),
+    (2, "empty_text", "coalesce(text, '') = ''"),
+    (3, "long_turn", "ntok > 30"),
+    (4, "conversation_opened", "turn_idx = 0"),
+    (5, "unicode_text", "is_mb"),
+    (6, "short_turn", "ntok BETWEEN 1 AND 3"),
+    (7, "mixed_script", "is_mb AND regexp_matches(coalesce(text, ''), '[A-Za-z]')"),
+]
+_SQL_EFFECT_RULES_CTX = _SQL_EFFECT_RULES + [
+    (8, "first_assistant", "role = 'assistant' AND n_prior_assistant = 0"),
+    (9, "first_tool_use", "role = 'tool' AND n_prior_tool = 0"),
+    (10, "long_silence", "prev_ts IS NOT NULL AND gap_sec > 300"),
+    (11, "session_resumed", "prev_ts IS NOT NULL AND gap_sec > 1800"),
+    (12, "turn_burst", "prev_ts IS NOT NULL AND gap_sec <= 5"),
+    (13, "tool_changed",
+     "role = 'tool' AND prev_tool IS NOT NULL AND prev_tool <> coalesce(tool, '')"),
+    (14, "repeated_speaker", "prev_ts IS NOT NULL AND prev_role = role"),
+    (15, "assistant_after_tool", "role = 'assistant' AND prev_role = 'tool'"),
+    (16, "conversation_closed", "turn_idx = max_turn_idx"),
+]
+
+
+def _sql_effects(rules: list[tuple[int, str, str]], contextual: bool) -> str:
+    flags = ",\n    ".join(f"({expr}) AS e{code}" for code, _, expr in rules)
+    ctx_cte = ""
+    src = "succ"
+    if contextual:
+        prior = ("PARTITION BY conv_id ORDER BY turn_idx "
+                 "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING")
+        ctx_cte = f""",
+ctxd AS (
+  SELECT *,
+    lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts,
+    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+    last_value(tool IGNORE NULLS) OVER ({prior}) AS prev_tool,
+    count(*) FILTER (WHERE role = 'assistant') OVER ({prior}) AS n_prior_assistant,
+    count(*) FILTER (WHERE role = 'tool') OVER ({prior}) AS n_prior_tool,
+    max(turn_idx) OVER (PARTITION BY conv_id) AS max_turn_idx
+  FROM succ
+),
+gapped AS (
+  SELECT *, floor(epoch(ts)) - floor(epoch(prev_ts)) AS gap_sec FROM ctxd
+)"""
+        src = "gapped"
+    arms = []
+    for code, name, _ in rules:
+        idx = " + ".join(f"CAST(e{i} AS INTEGER)" for i, _, _ in rules if i < code) or "0"
+        arms.append(
+            f"SELECT conv_id, turn_idx, ts, turn_id, {code} AS effect_type, "
+            f"'{name}' AS effect_type_string, {idx} AS effect_index "
+            f"FROM flagged WHERE e{code}"
+        )
+    fired = "\n  UNION ALL\n  ".join(arms)
+    return f"""{TRANSCRIPTS_CTE},
+succ AS (
+  SELECT *, {_SQL_TURN_ID} AS turn_id, {_SQL_NTOK} AS ntok,
+    (strlen(coalesce(text, '')) <> length(coalesce(text, ''))) AS is_mb
   FROM transcripts
   WHERE {_SQL_SUCCESSFUL}
+){ctx_cte},
+flagged AS (
+  SELECT *,
+    {flags}
+  FROM {src}
 ),
 fired AS (
-  SELECT *, 0 AS effect_type, 'turn_added' AS effect_type_string, 0 AS effect_index FROM base
-  UNION ALL
-  SELECT *, 1, 'tool_invoked', 1 FROM base WHERE e1
-  UNION ALL
-  SELECT *, 2, 'empty_text', 1 + CAST(e1 AS INTEGER) FROM base WHERE e2
-  UNION ALL
-  SELECT *, 3, 'long_turn', 1 + CAST(e1 AS INTEGER) + CAST(e2 AS INTEGER) FROM base WHERE e3
-  UNION ALL
-  SELECT *, 4, 'conversation_opened',
-         1 + CAST(e1 AS INTEGER) + CAST(e2 AS INTEGER) + CAST(e3 AS INTEGER) FROM base WHERE e4
+  {fired}
 )
 SELECT
   printf('%d-%d', turn_id, effect_index) AS effect_id,
@@ -318,6 +374,10 @@ SELECT
   ts
 FROM fired
 """
+
+
+SQL_EFFECTS = _sql_effects(_SQL_EFFECT_RULES, contextual=False)
+SQL_EFFECTS_CONTEXTUAL = _sql_effects(_SQL_EFFECT_RULES_CTX, contextual=True)
 
 
 # --- J2 pairs ---------------------------------------------------------------
@@ -1032,6 +1092,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "units": (q_units, SQL_UNITS),
     "units_details": (q_units_details, SQL_UNITS_DETAILS),
     "effects": (q_effects, SQL_EFFECTS),
+    "effects_contextual": (q_effects_contextual, SQL_EFFECTS_CONTEXTUAL),
     "pairs": (q_pairs, SQL_PAIRS),
     "sessions": (q_sessions, SQL_SESSIONS),
     "first_turns": (q_first_turns, SQL_FIRST_TURNS),

@@ -94,6 +94,23 @@ def test_units_details_all_tool_arms(spark):
     assert d[5]["has_unicode"] == "true" and d[5]["n_digits"] == "2"
 
 
+def test_contextual_effects_rules(micro):
+    from stellar_etl_spark.operators.effects import extract_effects_contextual
+
+    e = extract_effects_contextual(micro)
+    by: dict = {}
+    for r in e.collect():
+        by.setdefault((r["conv_id"], r["turn_idx"]), set()).add(r["effect_type_string"])
+    assert "first_assistant" in by[("conv_a", 1)]
+    # failed tool turn 3 is excluded, so turn 4 is the first tool use
+    assert "first_tool_use" in by[("conv_a", 4)]
+    assert "conversation_closed" in by[("conv_a", 4)]
+    assert "conversation_closed" in by[("conv_b", 0)]
+    # conv_c turn 2 arrives out of order 5s BEFORE turn 1 -> gap <= 5 (burst)
+    assert "turn_burst" in by[("conv_c", 2)]
+    assert "first_assistant" not in by.get(("conv_a", 4), set())
+
+
 def test_effects_rules(micro):
     e = extract_effects(micro, long_turn_tokens=8)
     by_turn = {}
@@ -101,17 +118,25 @@ def test_effects_rules(micro):
         by_turn.setdefault((r["conv_id"], r["turn_idx"]), []).append(r)
     # failed tool turn emits nothing
     assert ("conv_a", 3) not in by_turn
-    # conv_a turn 0: turn_added + conversation_opened, dense indexes
+    # conv_a turn 0 "hello there" (2 tokens): opened + short, dense indexes
     a0 = sorted(by_turn[("conv_a", 0)], key=lambda r: r["effect_index"])
-    assert [r["effect_type_string"] for r in a0] == ["turn_added", "conversation_opened"]
-    assert [r["effect_index"] for r in a0] == [0, 1]
+    assert [r["effect_type_string"] for r in a0] == [
+        "turn_added", "conversation_opened", "short_turn"
+    ]
+    assert [r["effect_index"] for r in a0] == [0, 1, 2]
     assert a0[1]["effect_id"] == f"{a0[1]['turn_id']}-1"
-    # successful tool turn: turn_added + tool_invoked
+    # successful tool turn (3 tokens): turn_added + tool_invoked + short_turn
     a4 = sorted(by_turn[("conv_a", 4)], key=lambda r: r["effect_index"])
-    assert [r["effect_type_string"] for r in a4] == ["turn_added", "tool_invoked"]
-    # empty text turn fires empty_text + conversation_opened
+    assert [r["effect_type_string"] for r in a4] == ["turn_added", "tool_invoked", "short_turn"]
+    # empty text turn fires empty_text + conversation_opened (0 tokens: no short)
     c0 = sorted(by_turn[("conv_c", 0)], key=lambda r: r["effect_index"])
     assert [r["effect_type_string"] for r in c0] == ["turn_added", "empty_text", "conversation_opened"]
+    # unicode + mixed-script rules: conv_a turn 2 "run the query 東京"
+    a2 = [r["effect_type_string"] for r in by_turn[("conv_a", 2)]]
+    assert "unicode_text" in a2 and "mixed_script" in a2
+    # pure-unicode (no ascii letters) fires unicode but not mixed: conv_c 2
+    c2 = [r["effect_type_string"] for r in by_turn[("conv_c", 2)]]
+    assert "unicode_text" in c2 and "mixed_script" in c2  # 'naïve' has ascii letters
     # long turn (9 tokens > 8)
     c1 = [r["effect_type_string"] for r in by_turn[("conv_c", 1)]]
     assert "long_turn" in c1

@@ -35,6 +35,14 @@ def test_narrow_extractors_no_shuffle(tdf):
         assert "Exchange" not in _plan(ex(tdf)), ex.__name__
 
 
+def test_contextual_effects_single_shuffle(tdf):
+    """The full emitter table needs lag context: exactly one conv_id
+    Exchange feeds every window column; the explode stays narrow."""
+    from stellar_etl_spark.operators.effects import extract_effects_contextual
+
+    assert _plan(extract_effects_contextual(tdf)).count("Exchange") == 1
+
+
 def test_conversations_single_shuffle_partial_agg(tdf):
     plan = _plan(extract_conversations(tdf))
     assert plan.count("Exchange") == 1
