@@ -380,6 +380,103 @@ SQL_EFFECTS = _sql_effects(_SQL_EFFECT_RULES, contextual=False)
 SQL_EFFECTS_CONTEXTUAL = _sql_effects(_SQL_EFFECT_RULES_CTX, contextual=True)
 
 
+# --- T17 wide conversation profile (config_setting.go:13-260 analog) --------
+def q_conv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stellar_etl_spark.operators.profile import extract_conversation_profile
+
+    return extract_conversation_profile(transcripts_from_events(spark, sf_dir), conv_seq=_seq())
+
+
+_SQL_MB = "(strlen(coalesce(text,'')) <> length(coalesce(text,'')))"
+
+SQL_CONV_PROFILE = f"""{TRANSCRIPTS_CTE},
+base AS (
+  SELECT conv_id, conv_seq, turn_idx, role, tool, text, ts,
+    {_SQL_NTOK} AS ntok,
+    length(coalesce(text,'')) AS nchar,
+    strlen(coalesce(text,'')) AS nbytes,
+    {_SQL_SUCCESSFUL} AS ok,
+    {_SQL_MB} AS mb,
+    floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx))) AS gap_sec
+  FROM transcripts
+),
+agg AS (
+  SELECT conv_id, conv_seq,
+    CAST(count(*) AS BIGINT) AS n_turns,
+    CAST(count(*) FILTER (WHERE role = 'user') AS BIGINT) AS n_user,
+    CAST(count(*) FILTER (WHERE role = 'assistant') AS BIGINT) AS n_assistant,
+    CAST(count(*) FILTER (WHERE role = 'tool') AS BIGINT) AS n_tool,
+    CAST(count(*) FILTER (WHERE role = 'system') AS BIGINT) AS n_system,
+    CAST(count(*) FILTER (WHERE ok) AS BIGINT) AS n_successful,
+    CAST(count(*) FILTER (WHERE NOT ok) AS BIGINT) AS n_failed,
+    CAST(count(*) FILTER (WHERE text IS NULL OR text = '') AS BIGINT) AS n_empty,
+    CAST(count(*) FILTER (WHERE mb) AS BIGINT) AS n_unicode,
+    CAST(count(*) FILTER (WHERE ntok BETWEEN 1 AND 3) AS BIGINT) AS n_short,
+    CAST(count(*) FILTER (WHERE ntok > 30) AS BIGINT) AS n_long,
+    CAST(count(DISTINCT role) AS BIGINT) AS n_distinct_roles,
+    CAST(count(DISTINCT tool) AS BIGINT) AS n_distinct_tools,
+    CAST(count(*) FILTER (WHERE tool = 'browse') AS BIGINT) AS n_tool_browse,
+    CAST(count(*) FILTER (WHERE tool = 'calc') AS BIGINT) AS n_tool_calc,
+    CAST(count(*) FILTER (WHERE tool = 'code') AS BIGINT) AS n_tool_code,
+    CAST(count(*) FILTER (WHERE tool = 'fetch') AS BIGINT) AS n_tool_fetch,
+    CAST(count(*) FILTER (WHERE tool = 'search') AS BIGINT) AS n_tool_search,
+    CAST(sum(ntok) AS BIGINT) AS total_tokens,
+    CAST(min(ntok) AS BIGINT) AS min_tokens,
+    CAST(max(ntok) AS BIGINT) AS max_tokens,
+    CAST(sum(nchar) AS BIGINT) AS total_chars,
+    CAST(min(nchar) AS BIGINT) AS min_chars,
+    CAST(max(nchar) AS BIGINT) AS max_chars,
+    CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+    min(ts) AS opened_at,
+    max(ts) AS closed_at,
+    CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS DOUBLE) AS duration_sec,
+    min(CASE WHEN role = 'user' THEN ts END) AS first_user_ts,
+    max(CASE WHEN role = 'assistant' THEN ts END) AS last_assistant_ts,
+    CAST(max(gap_sec) AS BIGINT) AS max_gap_sec,
+    CAST(min(gap_sec) AS BIGINT) AS min_gap_sec,
+    CAST(sum(gap_sec) AS BIGINT) AS total_gap_sec,
+    CAST(count(gap_sec) AS BIGINT) AS n_gaps,
+    CAST(count(*) FILTER (WHERE gap_sec > 1800) AS BIGINT) AS n_session_breaks,
+    arg_min(role, turn_idx) AS first_role,
+    arg_max(role, turn_idx) AS last_role,
+    arg_min(coalesce(text, ''), turn_idx) FILTER (WHERE role = 'user') AS first_user_text,
+    arg_max(coalesce(text, ''), turn_idx) AS last_text,
+    arg_min(tool, turn_idx) FILTER (WHERE tool IS NOT NULL) AS first_tool,
+    arg_max(tool, turn_idx) FILTER (WHERE tool IS NOT NULL) AS last_tool,
+    min(turn_idx) AS min_turn_idx,
+    max(turn_idx) AS max_turn_idx,
+    CAST(arg_max(ntok, turn_idx) AS BIGINT) AS last_turn_tokens,
+    -- list_distinct post-agg, not list(DISTINCT..) FILTER: DuckDB 1.x hits an
+    -- internal error combining DISTINCT+FILTER list aggs with a struct-list
+    -- agg in one SELECT
+    to_json(list_sort(list_distinct(coalesce(list(tool) FILTER (WHERE tool IS NOT NULL),
+                                             CAST([] AS VARCHAR[]))))) AS tools_used,
+    to_json(list_sort(list_distinct(list(role)))) AS roles_seen,
+    to_json([x.v FOR x IN list_sort(list({{'i': turn_idx, 'v': coalesce(text, '')}}))[1:3]])
+      AS first_3_texts
+  FROM base
+  GROUP BY conv_id, conv_seq
+)
+SELECT *,
+  CAST(total_tokens AS DOUBLE) / CAST(n_turns AS DOUBLE) AS avg_tokens,
+  CAST(total_chars AS DOUBLE) / CAST(n_turns AS DOUBLE) AS avg_chars,
+  CAST(n_user AS DOUBLE) / CAST(n_turns AS DOUBLE) AS pct_user,
+  CAST(n_failed AS DOUBLE) / CAST(n_turns AS DOUBLE) AS pct_failed,
+  CAST(n_unicode AS DOUBLE) / CAST(n_turns AS DOUBLE) AS pct_unicode,
+  CASE WHEN total_tokens > 0 THEN CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+       ELSE 0.0 END AS chars_per_token,
+  CASE WHEN n_gaps > 0 THEN CAST(total_gap_sec AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+       ELSE 0.0 END AS avg_gap_sec,
+  (first_role = 'system') AS has_system_start,
+  (n_failed > 0) AS has_failures,
+  (n_turns = 1) AS single_turn,
+  (n_turns >= 256) AS is_hot,
+  (last_role = 'user') AS ended_by_user,
+  (n_session_breaks > 0) AS multi_session
+FROM agg
+"""
+
+
 # --- J2 pairs ---------------------------------------------------------------
 def q_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pairs(transcripts_from_events(spark, sf_dir))
@@ -1089,6 +1186,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "turns_raw": (q_turns_raw, SQL_TURNS_RAW),
     "conversations": (q_conversations, SQL_CONVERSATIONS),
     "conversations_windowed": (q_conversations_windowed, SQL_CONVERSATIONS_WINDOWED),
+    "conv_profile": (q_conv_profile, SQL_CONV_PROFILE),
     "units": (q_units, SQL_UNITS),
     "units_details": (q_units_details, SQL_UNITS_DETAILS),
     "effects": (q_effects, SQL_EFFECTS),

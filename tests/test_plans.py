@@ -35,6 +35,16 @@ def test_narrow_extractors_no_shuffle(tdf):
         assert "Exchange" not in _plan(ex(tdf)), ex.__name__
 
 
+def test_conv_profile_single_shuffle_and_breadth(tdf):
+    """The 60+-column wide projection reuses one conv_id partitioning for
+    both its lag window and the aggregation — exactly one Exchange."""
+    from stellar_etl_spark.operators.profile import extract_conversation_profile
+
+    prof = extract_conversation_profile(tdf)
+    assert len(prof.columns) >= 50
+    assert _plan(prof).count("Exchange") == 1
+
+
 def test_contextual_effects_single_shuffle(tdf):
     """The full emitter table needs lag context: exactly one conv_id
     Exchange feeds every window column; the explode stays narrow."""
