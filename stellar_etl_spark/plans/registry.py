@@ -601,6 +601,28 @@ WHERE ts BETWEEN least(greatest(TIMESTAMP '{_RANGE_LO}', b.lo), b.hi)
 """
 
 
+# Edge case: request straddles the whole table (start before oldest, end
+# after latest) — both ends clamp (early_start + late_end golden analogs,
+# /root/reference/testdata/ranges/*.golden); tolerance disabled like the
+# archive-backed reference path that predates checkTimesWithinDatastore.
+_EDGE_LO, _EDGE_HI = "2000-01-01 00:00:00", "2100-01-01 00:00:00"
+
+
+def q_time_range_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return time_range(
+        transcripts_from_events(spark, sf_dir), _EDGE_LO, _EDGE_HI, future_tolerance_sec=None
+    ).select("start_ts", "end_ts", "n_turns")
+
+
+SQL_TIME_RANGE_EDGE = f"""{TRANSCRIPTS_CTE},
+b AS (SELECT min(ts) AS lo, max(ts) AS hi FROM transcripts)
+SELECT min(ts) AS start_ts, max(ts) AS end_ts, CAST(count(*) AS BIGINT) AS n_turns
+FROM transcripts, b
+WHERE ts BETWEEN least(greatest(TIMESTAMP '{_EDGE_LO}', b.lo), b.hi)
+             AND least(greatest(TIMESTAMP '{_EDGE_HI}', b.lo), b.hi)
+"""
+
+
 # --- S4/C20 sequence batching ----------------------------------------------
 def q_batch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     tv = with_batch_bounds(transcripts_from_events(spark, sf_dir), batch_size=64)
@@ -1197,6 +1219,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "last_state": (q_last_state, SQL_LAST_STATE),
     "star_denorm": (q_star_denorm, SQL_STAR_DENORM),
     "time_range": (q_time_range, SQL_TIME_RANGE),
+    "time_range_edge": (q_time_range_edge, SQL_TIME_RANGE_EDGE),
     "batch_bounds": (q_batch_bounds, SQL_BATCH_BOUNDS),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "doc_language_id": (q_doc_language_id, SQL_DOC_LANGUAGE_ID),
