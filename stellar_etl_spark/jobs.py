@@ -38,6 +38,13 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--watermark", default="2 minutes")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--follow", action="store_true", help="unbounded mode")
+    p.add_argument(
+        "--timeout-sec",
+        type=int,
+        default=None,
+        help="deadline for the run; default: no deadline for --follow, "
+        "600s for bounded runs (which ERROR if still active at the deadline)",
+    )
     p.add_argument("--cores", type=int, default=None)
     p.add_argument("--strict-export", action="store_true", default=True)
     p.add_argument("--lenient", dest="strict_export", action="store_false")
@@ -71,6 +78,12 @@ def main(argv: list[str] | None = None) -> int:
     tr.add_argument("--source", required=True)
     tr.add_argument("--start", required=True)
     tr.add_argument("--end", required=True)
+    tr.add_argument(
+        "--allow-future",
+        action="store_true",
+        help="archive mode: clamp far-future requests instead of rejecting "
+        "them (default mirrors the reference's 10s future tolerance)",
+    )
 
     args = ap.parse_args(argv)
     spark = get_spark(f"etl-{args.cmd}", cores=getattr(args, "cores", None), streaming=True)
@@ -87,7 +100,12 @@ def main(argv: list[str] | None = None) -> int:
         from stellar_etl_spark.operators import time_range
         from stellar_etl_spark.sources.transcripts import read_batch
 
-        row = time_range(read_batch(spark, args.source), args.start, args.end).collect()[0]
+        row = time_range(
+            read_batch(spark, args.source),
+            args.start,
+            args.end,
+            future_tolerance_sec=None if args.allow_future else 10,
+        ).collect()[0]
         print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
         return 0
 
@@ -173,7 +191,10 @@ def main(argv: list[str] | None = None) -> int:
             args.checkpoint,
             keys={n: k for n, (ex, k) in fan.items()},
         )
-        print(json.dumps({n: s.read_sink(spark).count() for n, s in sinks.items()}))
+        print(json.dumps({
+            n: (s.read_sink(spark).count() if s.has_epochs() else 0)
+            for n, s in sinks.items()
+        }))
         return 0
 
     ex, keys = extractors[args.cmd]
@@ -208,6 +229,9 @@ def main(argv: list[str] | None = None) -> int:
         )
     else:
         sink = IdempotentSink(args.sink, keys)
+    # --follow with no explicit deadline runs until killed; bounded runs keep
+    # the 600s default but now ERROR (not silently truncate) on overrun.
+    timeout = args.timeout_sec if args.timeout_sec is not None else (None if args.follow else 600)
     metrics = run_export(
         spark,
         args.source,
@@ -216,6 +240,7 @@ def main(argv: list[str] | None = None) -> int:
         args.checkpoint,
         max_files_per_trigger=args.max_files_per_trigger,
         available_now=not args.follow,
+        timeout_sec=timeout,
         with_listener=True,
     )
     print(json.dumps({"cmd": args.cmd, "metrics": metrics, "epochs": len(sink.lineage())}))

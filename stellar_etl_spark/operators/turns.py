@@ -28,7 +28,7 @@ def extract_turns(df: DataFrame, conv_seq: Column | None = None) -> DataFrame:
     """Project the transcripts table into the TURNS output schema.
 
     ``conv_seq`` overrides the conversation sequence derivation (default:
-    stable 31-bit hash of ``conv_id``). Oracle-checked jobs pass a
+    stable 30-bit hash of ``conv_id``). Oracle-checked jobs pass a
     SQL-reproducible sequence instead of the hash.
     """
     seq = conv_seq if conv_seq is not None else toid_mod.conv_seq("conv_id")

@@ -62,9 +62,25 @@ class MetricsListener(StreamingQueryListener):
         total_ms = sum(
             (s["durationMs"] or {}).get("triggerExecution", 0) for s in self.snapshots
         )
+        state_rows = [
+            sum(op.get("numRowsTotal") or 0 for op in s["stateOperators"])
+            for s in self.snapshots
+            if s["stateOperators"]
+        ]
+        state_bytes = [
+            sum(op.get("memoryUsedBytes") or 0 for op in s["stateOperators"])
+            for s in self.snapshots
+            if s["stateOperators"]
+        ]
         return {
             "batches": len(self.snapshots),
             "input_rows": rows,
             "wall_ms": total_ms,
             "rows_per_sec": (rows / (total_ms / 1000.0)) if total_ms else None,
+            # watermark-eviction health: peak/final state footprint (rows and
+            # bytes across all stateful operators) — bounded state means the
+            # final snapshot is far below cumulative input
+            "max_state_rows": max(state_rows, default=0),
+            "final_state_rows": state_rows[-1] if state_rows else 0,
+            "max_state_bytes": max(state_bytes, default=0),
         }

@@ -43,11 +43,18 @@ def run_export(
     watermark: str | None = None,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
-    timeout_sec: int = 600,
+    timeout_sec: int | None = 600,
     with_listener: bool = False,
     output_mode: str = "append",
 ) -> dict:
     """Run one streaming export to completion (AvailableNow) or until timeout.
+
+    ``timeout_sec=None`` waits without deadline — the right setting for
+    unbounded (--follow) runs, which must not silently stop after 10 minutes.
+    A BOUNDED run that is still active at the deadline raises TimeoutError
+    (truncating an AvailableNow export silently would under-report);
+    an unbounded run with an explicit timeout stops cleanly at the deadline
+    (the documented bounded-follow used by tests).
 
     Returns the metrics summary. Killing the process and re-calling with the
     same checkpoint resumes from the last committed offset and rewrites any
@@ -69,9 +76,17 @@ def run_export(
         if available_now:
             writer = writer.trigger(availableNow=True)
         q = writer.start()
-        q.awaitTermination(timeout_sec)
+        if timeout_sec is None:
+            q.awaitTermination()
+        else:
+            q.awaitTermination(timeout_sec)
         if q.isActive:
             q.stop()
+            if available_now:
+                raise TimeoutError(
+                    f"bounded export still running after {timeout_sec}s — "
+                    "raise timeout_sec (or pass None) instead of truncating"
+                )
         return listener.summary() if listener else {}
     finally:
         if listener:

@@ -60,16 +60,20 @@ class IdempotentSink:
 
     # -- write side -----------------------------------------------------
     def foreach_batch(self, df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Observation
+
         if self.batch_transform is not None:
             df = self.batch_transform(df)
         out_dir = os.path.join(self.path, f"epoch={epoch_id}")
+        # the lineage row count rides the write job as an observed metric —
+        # no second job per epoch (the count re-read cost one extra Spark job
+        # per micro-batch)
+        obs = Observation(f"lineage-epoch-{epoch_id}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         df.write.mode("overwrite").parquet(out_dir)
-        self._write_lineage(df.sparkSession, epoch_id, out_dir)
+        self._write_lineage(epoch_id, out_dir, int(obs.get["rows"]))
 
-    def _write_lineage(self, spark: SparkSession, epoch_id: int, out_dir: str) -> None:
-        # Re-read what was committed (cheap: parquet footers carry counts).
-        committed = spark.read.parquet(out_dir)
-        n = committed.count()
+    def _write_lineage(self, epoch_id: int, out_dir: str, n: int) -> None:
         rec = {
             "epoch": int(epoch_id),
             "rows": int(n),
@@ -83,8 +87,19 @@ class IdempotentSink:
             json.dump(rec, f)
 
     # -- read side ------------------------------------------------------
+    def has_epochs(self) -> bool:
+        """True if at least one epoch has been committed."""
+        try:
+            return any(n.startswith("epoch=") for n in os.listdir(self.path))
+        except FileNotFoundError:
+            return False
+
     def read_raw(self, spark: SparkSession) -> DataFrame:
-        """All committed epochs, epoch column included."""
+        """All committed epochs, epoch column included. Raises a clear error
+        (not a glob AnalysisException) when nothing has been committed —
+        callers that tolerate empty sinks check :meth:`has_epochs` first."""
+        if not self.has_epochs():
+            raise FileNotFoundError(f"no committed epochs under {self.path}")
         return spark.read.option("basePath", self.path).parquet(
             os.path.join(self.path, "epoch=*")
         )
@@ -131,6 +146,12 @@ class IcebergMergeSink:
         spark = df.sparkSession
         if not self.available(spark):
             raise RuntimeError("Iceberg runtime not on the classpath")
+        # Iceberg raises a cardinality error if several source rows match one
+        # target row; at-least-once delivery can duplicate keys within a
+        # micro-batch, so dedup on the business key first (latest wins,
+        # mirroring read_sink precedence).
+        w = Window.partitionBy(*self.keys).orderBy(F.monotonically_increasing_id().desc())
+        df = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
         view = f"_merge_src_{epoch_id}"
         df.createOrReplaceTempView(view)
         on = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)

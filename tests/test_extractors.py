@@ -199,8 +199,9 @@ def test_star_schema_roundtrip(micro):
 
 
 def test_time_range_clamps(micro):
-    # requested range wider than data -> clamps to data bounds
-    r = time_range(micro, "2020-01-01", "2030-01-01").collect()[0]
+    # requested range wider than data -> clamps to data bounds (archive
+    # mode: far-future end allowed only with the tolerance disabled)
+    r = time_range(micro, "2020-01-01", "2030-01-01", future_tolerance_sec=None).collect()[0]
     assert r["n_turns"] == 9
     r2 = time_range(micro, "2026-01-01 00:00:15", "2026-01-01 00:00:35").collect()[0]
     assert r2["n_turns"] == 2  # turns at 00:00:20 and 00:00:30

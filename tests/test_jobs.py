@@ -25,9 +25,18 @@ def test_generate_export_turns_and_range(spark, tmp_path, capsys):
     )
     assert turns.count() == gen["written"]
 
-    jobs.main(["get_time_range", "--source", src, "--start", "2026-01-01", "--end", "2027-01-01"])
+    jobs.main(["get_time_range", "--source", src, "--start", "2026-01-01",
+               "--end", "2027-01-01", "--allow-future"])
     rng = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert int(rng["n_turns"]) == gen["written"]
+
+    # without --allow-future a far-future request fails loudly
+    # (ledger_range.go:96-113 maxFutureTolerance semantics)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="exceeds latest event"):
+        jobs.main(["get_time_range", "--source", src, "--start", "2026-01-01",
+                   "--end", "2027-01-01"])
 
 
 def test_export_changes_compacts(spark, tmp_path, capsys):

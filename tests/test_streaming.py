@@ -326,3 +326,40 @@ def test_session_windows_under_disorder(spark, tmp_path):
     got = sink.read_sink(spark).where(F.col("conv_id") != "flush")
     want = extract_sessions(df, gap_sec=1800)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_lineage_single_job_per_epoch(spark, tmp_path):
+    """The lineage row count rides the write job as an observed metric —
+    committing an epoch must cost exactly one Spark job (the old re-read
+    .count() added a second job per micro-batch)."""
+    sc = spark.sparkContext
+    df = transcripts_df(spark, n_convs=5)
+    sink = IdempotentSink(str(tmp_path / "one_job"))
+    sc.setJobGroup("lineage-job-count", "one job per epoch")
+    try:
+        sink.foreach_batch(df, 0)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    ids = sc.statusTracker().getJobIdsForGroup("lineage-job-count")
+    assert len(ids) == 1, ids
+    assert sink.lineage()[0]["rows"] == df.count()
+
+
+def test_streaming_pairs_state_bounded_under_disorder(spark, tmp_path):
+    """Watermark eviction keeps stateful-join state bounded: the peak state
+    footprint reported by the state store stays below the cumulative input,
+    and the listener summary surfaces the rows/bytes metrics."""
+    df = transcripts_df(spark, n_convs=30, disorder_sec=30)
+    path = str(tmp_path / "src")
+    write_transcripts(df, path)
+    _flush_sentinel(spark, path)
+    sink = IdempotentSink(str(tmp_path / "pairs"), ("conv_id", "user_turn_idx"))
+    m = run_export(
+        spark, path, lambda s: streaming_pairs(s, "2 minutes", 300), sink,
+        str(tmp_path / "ckpt_state"), max_files_per_trigger=2, with_listener=True,
+    )
+    total_rows = df.count() + 1  # + sentinel
+    assert m["max_state_rows"] > 0
+    assert m["max_state_rows"] < total_rows
+    assert m["final_state_rows"] <= m["max_state_rows"]
+    assert m["max_state_bytes"] > 0
