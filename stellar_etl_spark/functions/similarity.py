@@ -200,35 +200,75 @@ def lsh_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     probe_hamming: int = 0,
+    tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: join query and corpus on the LSH bucket, rank within
-    bucket. ``probe_hamming`` > 0 multi-probes: each query additionally scans
-    every bucket within that Hamming distance of its own (the standard
-    recall amplifier — probes cost sum_{r<=R} C(bits, r) extra equi-join keys
-    on the tiny query side only; the corpus is still hashed once)."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cvec")
-    ).withColumn("bucket", hyperplane_signature(F.col("cvec"), dim, bits, seed))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qvec")
-    ).withColumn("bucket", hyperplane_signature(F.col("qvec"), dim, bits, seed))
+    bucket. Two standard recall amplifiers compose:
+
+    - ``probe_hamming`` > 0 multi-probes — each query additionally scans every
+      bucket within that Hamming distance of its own (sum_{r<=R} C(bits, r)
+      extra equi-join keys on the tiny query side only);
+    - ``tables`` > 1 OR-amplifies across independent hash tables — a
+      candidate needs to collide in ANY table. The corpus is hashed (and its
+      join keys replicated) once per table: the classic index-size-for-recall
+      trade (state carries (table, bucket, id), never the vectors twice).
+
+    Recall is a function of true similarity: high-sim neighbors collide
+    almost surely, near-orthogonal ones almost never — measured numbers in
+    BENCH/BASELINE.md."""
+    def sigs(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        return df.select(
+            F.col(idc),
+            F.col(vc),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            hyperplane_signature(F.col(vc), dim, bits, seed + t).alias("bkt"),
+                        )
+                        for t in range(tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(idc, vc, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+
+    c = sigs(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cvec")
+        ),
+        "neighbor_id",
+        "cvec",
+    )
+    q = sigs(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qvec")
+        ),
+        "query_id",
+        "qvec",
+    )
     if probe_hamming > 0:
         masks = _probe_masks(bits, probe_hamming)
         q = q.select(
             "query_id",
             "qvec",
+            "tbl",
             F.explode(
-                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m).cast("long")) for m in masks])
-            ).alias("bucket"),
+                F.array(*[F.col("bkt").bitwiseXOR(F.lit(m).cast("long")) for m in masks])
+            ).alias("bkt"),
         )
-    # a corpus row lives in exactly one bucket and probe keys are distinct, so
-    # no (query, neighbor) pair can match twice — no dedup needed
-    scored = c.join(F.broadcast(q), "bucket").where(
-        F.col("neighbor_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+    # within one table a corpus row has one bucket and probe keys are
+    # distinct, but the same pair can collide in several TABLES — dedup on
+    # (query, neighbor) before ranking
+    scored = (
+        c.join(F.broadcast(q), ["tbl", "bkt"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

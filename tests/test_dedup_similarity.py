@@ -134,3 +134,24 @@ def test_lsh_topk_recall(spark):
     got = lsh_topk(emb, emb.where("vec_id = 0"), dim=16, k=5, bits=4)
     neighbors = [r["neighbor_id"] for r in got.orderBy("rank").collect()]
     assert neighbors and neighbors[0] == 1  # the planted near-dup lands in the bucket and ranks first
+
+
+def test_lsh_topk_multitable_amplifies_recall(spark):
+    """OR-amplification across tables + multi-probe recovers the exact top-k
+    on hard (near-orthogonal) data where a single table cannot (recall grid
+    at sf0.1 in BENCH/BASELINE.md: bits=6/probe=2/tables=8 -> recall 1.0)."""
+    import numpy as np
+
+    from stellar_etl_spark.functions.similarity import cosine_topk
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(80, 16).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where("vec_id < 5")
+    want = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, q, dim=16, k=5, bits=4, probe_hamming=1, tables=8).collect()
+    }
+    assert len(want & got) / len(want) >= 0.9
