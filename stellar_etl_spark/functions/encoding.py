@@ -4,16 +4,17 @@ equivalent (``transform/ledger.go:229-242 getAddress``,
 ``transaction.go:349-361``; Stellar strkey = version byte + payload + CRC16,
 base32).
 
-This is the engine's canonical **vectorized pandas UDF** example: pure-Python
-base32+CRC16 applied per Arrow batch (Series → Series), never per row via
-``udf()``. Used for opaque speaker/conversation handles that survive export
-round-trips.
+This is the engine's canonical **vectorized pandas UDF** example: the CRC16
+is table-driven numpy over the whole Arrow batch (one vector op per byte
+POSITION, not per byte), base32 is C-speed per value, and nothing runs per
+row in the Python interpreter's hot loop.
 """
 
 from __future__ import annotations
 
 import base64
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql.functions import pandas_udf
@@ -23,6 +24,8 @@ _VERSION_BYTE = 0x30  # 'G'-class handle, mirroring strkey account version
 
 
 def _crc16_xmodem(data: bytes) -> int:
+    """Reference (scalar) CRC16/XMODEM — kept as the oracle for the batch
+    implementation (tests pin batch == scalar)."""
     crc = 0
     for b in data:
         crc ^= b << 8
@@ -32,45 +35,97 @@ def _crc16_xmodem(data: bytes) -> int:
     return crc
 
 
-def _encode_one(raw: bytes) -> str:
-    payload = bytes([_VERSION_BYTE]) + raw
-    crc = _crc16_xmodem(payload)
-    full = payload + crc.to_bytes(2, "little")
-    return base64.b32encode(full).decode().rstrip("=")
+def _build_crc_table() -> np.ndarray:
+    t = np.zeros(256, dtype=np.uint16)
+    for b in range(256):
+        crc = b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x1021) if crc & 0x8000 else (crc << 1)
+            crc &= 0xFFFF
+        t[b] = crc
+    return t
 
 
-def _decode_one(s: str) -> bytes | None:
-    try:
-        pad = "=" * (-len(s) % 8)
-        full = base64.b32decode(s + pad)
-        payload, crc = full[:-2], int.from_bytes(full[-2:], "little")
-        if payload[0] != _VERSION_BYTE or _crc16_xmodem(payload) != crc:
-            return None
-        return payload[1:]
-    except Exception:
-        return None
+_CRC_TABLE = _build_crc_table()
+
+
+def _crc16_batch(rows: list[bytes]) -> np.ndarray:
+    """CRC16/XMODEM of every byte string at once: one table-lookup vector op
+    per byte position across the batch (rows are padded to the max length and
+    masked by their own length)."""
+    n = len(rows)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint16)
+    lens = np.fromiter((len(r) for r in rows), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    mat = np.zeros((n, maxlen), dtype=np.uint8)
+    for i, r in enumerate(rows):  # one memcpy per row, not per byte
+        mat[i, : len(r)] = np.frombuffer(r, dtype=np.uint8)
+    crc = np.zeros(n, dtype=np.uint16)
+    for j in range(maxlen):
+        active = lens > j
+        c = crc[active]
+        crc[active] = (c << 8) ^ _CRC_TABLE[(c >> 8) ^ mat[active, j]]
+    return crc
+
+
+def _encode_batch(values: list[str]) -> list[str]:
+    payloads = [bytes([_VERSION_BYTE]) + v.encode() for v in values]
+    crcs = _crc16_batch(payloads)
+    return [
+        base64.b32encode(p + int(c).to_bytes(2, "little")).decode().rstrip("=")
+        for p, c in zip(payloads, crcs)
+    ]
+
+
+def _decode_batch(values: list[str]) -> list[bytes | None]:
+    """base32-decode + checksum-verify a batch; None per bad value."""
+    fulls: list[bytes | None] = []
+    for s in values:
+        try:
+            pad = "=" * (-len(s) % 8)
+            full = base64.b32decode(s + pad)
+            fulls.append(full if len(full) >= 3 else None)
+        except Exception:
+            fulls.append(None)
+    good_idx = [i for i, f in enumerate(fulls) if f is not None]
+    payloads = [fulls[i][:-2] for i in good_idx]
+    crcs = _crc16_batch(payloads)
+    out: list[bytes | None] = [None] * len(values)
+    for pos, i in enumerate(good_idx):
+        full = fulls[i]
+        payload = payloads[pos]
+        want = int.from_bytes(full[-2:], "little")
+        if payload and payload[0] == _VERSION_BYTE and int(crcs[pos]) == want:
+            out[i] = payload[1:]
+    return out
 
 
 @pandas_udf(StringType())
 def strkey_encode(s: pd.Series) -> pd.Series:
-    """Encode utf-8 strings to checksummed base32 handles (vectorized)."""
-    return s.map(lambda v: None if v is None else _encode_one(str(v).encode()))
+    """Encode utf-8 strings to checksummed base32 handles (batch-vectorized)."""
+    mask = s.notna()
+    encoded = _encode_batch([str(v) for v in s[mask]])
+    out = pd.Series([None] * len(s), index=s.index, dtype=object)
+    out[mask] = encoded
+    return out
 
 
 @pandas_udf(StringType())
 def strkey_decode(s: pd.Series) -> pd.Series:
     """Decode handles back to utf-8; None for checksum/format failures (the
     reference errors on bad strkeys — lenient export maps those to null)."""
-
-    def dec(v):
-        if v is None:
-            return None
-        raw = _decode_one(str(v))
-        return None if raw is None else raw.decode("utf-8", "replace")
-
-    return s.map(dec)
+    mask = s.notna()
+    raws = _decode_batch([str(v) for v in s[mask]])
+    out = pd.Series([None] * len(s), index=s.index, dtype=object)
+    out[mask] = [None if r is None else r.decode("utf-8", "replace") for r in raws]
+    return out
 
 
 @pandas_udf(BooleanType())
 def strkey_valid(s: pd.Series) -> pd.Series:
-    return s.map(lambda v: v is not None and _decode_one(str(v)) is not None)
+    mask = s.notna()
+    raws = _decode_batch([str(v) for v in s[mask]])
+    out = pd.Series([False] * len(s), index=s.index, dtype=object)
+    out[mask] = [r is not None for r in raws]
+    return out.astype(bool)

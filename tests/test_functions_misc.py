@@ -123,3 +123,16 @@ def test_structured_payload(spark):
 
     out = extract_structured_payload(df, "k INT").collect()
     assert len(out) == 1 and out[0]["k"] == 7
+
+
+def test_crc16_batch_matches_scalar():
+    """The table-driven batch CRC (one vector op per byte position) must
+    equal the scalar bit-loop reference for arbitrary byte strings."""
+    import numpy as np
+
+    from stellar_etl_spark.functions.encoding import _crc16_batch, _crc16_xmodem
+
+    rng = np.random.RandomState(7)
+    rows = [bytes(rng.randint(0, 256, rng.randint(0, 64)).astype("uint8")) for _ in range(300)]
+    rows += [b"", b"\x00", b"\xff" * 63]
+    assert [int(x) for x in _crc16_batch(rows)] == [_crc16_xmodem(r) for r in rows]
