@@ -1200,6 +1200,171 @@ WHERE rank <= {k}
 SQL_ANN_LSH_TOPK = _sql_lsh_topk_portable()
 
 
+# --- T10 trustline analog (transform/trustline.go: account<->asset
+# permission row with authorization flags and balance) -----------------------
+def q_tool_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tv = transcripts_from_events(spark, sf_dir)
+    failed = F.startswith(F.coalesce(F.col("text"), F.lit("")), F.lit("error:"))
+    return (
+        tv.where(F.col("tool").isNotNull())
+        .groupBy("conv_id", "tool")
+        .agg(
+            F.min("ts").alias("first_used_ts"),
+            F.max("ts").alias("last_used_ts"),
+            F.count(F.lit(1)).alias("n_uses"),
+            F.count(F.when(failed, 1)).alias("n_failed"),
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("total_chars"),
+        )
+        .withColumn("authorized", F.col("n_failed") == 0)
+    )
+
+
+SQL_TOOL_GRANTS = f"""{TRANSCRIPTS_CTE}
+SELECT conv_id, tool,
+  min(ts) AS first_used_ts,
+  max(ts) AS last_used_ts,
+  CAST(count(*) AS BIGINT) AS n_uses,
+  CAST(count(*) FILTER (WHERE starts_with(coalesce(text,''), 'error:')) AS BIGINT) AS n_failed,
+  CAST(sum(length(coalesce(text,''))) AS BIGINT) AS total_chars,
+  (count(*) FILTER (WHERE starts_with(coalesce(text,''), 'error:')) = 0) AS authorized
+FROM transcripts
+WHERE tool IS NOT NULL
+GROUP BY conv_id, tool
+"""
+
+
+# --- T13 pool analog (transform/liquidity_pool.go: per-pool reserves +
+# share-of-total) -------------------------------------------------------------
+def q_tool_pools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tv = transcripts_from_events(spark, sf_dir)
+    per = (
+        tv.where(F.col("tool").isNotNull())
+        .groupBy("tool")
+        .agg(
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.count(F.lit(1)).alias("n_calls"),
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("total_chars"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    total = F.sum("n_calls").over(W.partitionBy())
+    return per.select(
+        "tool",
+        "n_convs",
+        "n_calls",
+        "total_chars",
+        (F.col("total_chars").cast("double") / F.col("n_calls").cast("double")).alias("avg_chars"),
+        (F.col("n_calls").cast("double") / total.cast("double")).alias("share_of_calls"),
+    )
+
+
+SQL_TOOL_POOLS = f"""{TRANSCRIPTS_CTE},
+per AS (
+  SELECT tool,
+    CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+    CAST(count(*) AS BIGINT) AS n_calls,
+    CAST(sum(length(coalesce(text,''))) AS BIGINT) AS total_chars
+  FROM transcripts WHERE tool IS NOT NULL GROUP BY tool
+)
+SELECT tool, n_convs, n_calls, total_chars,
+  CAST(total_chars AS DOUBLE) / CAST(n_calls AS DOUBLE) AS avg_chars,
+  CAST(n_calls AS DOUBLE) / CAST(sum(n_calls) OVER () AS DOUBLE) AS share_of_calls
+FROM per
+"""
+
+
+# --- T18 TTL analog (transform/ttl.go: key hash + live-until) ----------------
+def q_conv_ttls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tv = transcripts_from_events(spark, sf_dir)
+    return tv.groupBy("conv_id").agg(
+        F.sha2(F.col("conv_id").cast("binary"), 256).alias("key_hash"),
+        (F.max("ts") + F.expr("INTERVAL 1800 SECONDS")).alias("live_until_ts"),
+        F.max("ts").alias("last_seen_ts"),
+    )
+
+
+SQL_CONV_TTLS = f"""{TRANSCRIPTS_CTE}
+SELECT conv_id,
+  sha256(conv_id) AS key_hash,
+  max(ts) + INTERVAL 1800 SECOND AS live_until_ts,
+  max(ts) AS last_seen_ts
+FROM transcripts
+GROUP BY conv_id
+"""
+
+
+# --- T19 restored-key filter+projection (transform/ledger_entry.go restored
+# branch: only entries coming back after eviction, with their restore point) --
+def q_restored_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    tv = transcripts_from_events(spark, sf_dir)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    gap = (
+        F.floor(F.unix_timestamp("ts")) - F.floor(F.unix_timestamp(F.lag("ts").over(w)))
+    ).cast("long")
+    return (
+        tv.select("conv_id", "turn_idx", "role", "ts", gap.alias("gap_sec"))
+        .where(F.col("gap_sec") > 1800)
+    )
+
+
+SQL_RESTORED_TURNS = f"""{TRANSCRIPTS_CTE},
+g AS (
+  SELECT conv_id, turn_idx, role, ts,
+    floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx))) AS gap_sec
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, role, ts, CAST(gap_sec AS BIGINT) AS gap_sec
+FROM g WHERE gap_sec > 1800
+"""
+
+
+# --- T11 offer-price analog (transform/offer.go: exact rational price n/d
+# plus the double approximation) ----------------------------------------------
+def q_response_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    tv = transcripts_from_events(spark, sf_dir)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    ntok = textfn.token_count(F.col("text"))
+    base = tv.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        ntok.alias("n"),
+        F.lag("role").over(w).alias("prev_role"),
+        F.lag(ntok).over(w).alias("d"),
+    )
+    return (
+        base.where((F.col("role") == "assistant") & (F.col("prev_role") == "user"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "n",
+            "d",
+            F.when(F.col("d") > 0, F.col("n").cast("double") / F.col("d").cast("double"))
+            .alias("price"),
+        )
+    )
+
+
+SQL_RESPONSE_RATIOS = f"""{TRANSCRIPTS_CTE},
+g AS (
+  SELECT conv_id, turn_idx, role,
+    {_SQL_NTOK} AS n,
+    lag(role) OVER w AS prev_role,
+    lag({_SQL_NTOK}) OVER w AS d
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx, n, d,
+  CASE WHEN d > 0 THEN CAST(n AS DOUBLE) / CAST(d AS DOUBLE) END AS price
+FROM g WHERE role = 'assistant' AND prev_role = 'user'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1218,6 +1383,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "first_turns": (q_first_turns, SQL_FIRST_TURNS),
     "last_state": (q_last_state, SQL_LAST_STATE),
     "star_denorm": (q_star_denorm, SQL_STAR_DENORM),
+    "tool_grants": (q_tool_grants, SQL_TOOL_GRANTS),
+    "tool_pools": (q_tool_pools, SQL_TOOL_POOLS),
+    "conv_ttls": (q_conv_ttls, SQL_CONV_TTLS),
+    "restored_turns": (q_restored_turns, SQL_RESTORED_TURNS),
+    "response_ratios": (q_response_ratios, SQL_RESPONSE_RATIOS),
     "time_range": (q_time_range, SQL_TIME_RANGE),
     "time_range_edge": (q_time_range_edge, SQL_TIME_RANGE_EDGE),
     "batch_bounds": (q_batch_bounds, SQL_BATCH_BOUNDS),
