@@ -208,6 +208,12 @@ See BENCH_r*.json `streaming.mean_trigger_ms` (bench.py): mean micro-batch
 trigger-to-commit latency at 32 cores, measured by the MetricsListener.
 """
         )
+        # non-scaling measurements (ANN recall grids, matcher micro-benches,
+        # ...) live in BENCH/ADDENDA.md and survive scaling re-runs
+        addenda = os.path.join(_HERE, "BENCH", "ADDENDA.md")
+        if os.path.exists(addenda):
+            with open(addenda) as a:
+                f.write("\n" + a.read())
 
 
 if __name__ == "__main__":

@@ -68,7 +68,10 @@ def _fake_decode(kind: str, payload: bytes | None) -> dict:
     return {
         "width": None,
         "height": None,
-        "duration_sec": round(0.5 + (int.from_bytes(h[2:4], "big") % 6000) / 100.0, 2),
+        # exact integer division by 100.0 (no round()) so any engine
+        # recomputes the identical double — the DuckDB oracle for the
+        # media_features registry query mirrors this formula bit-for-bit
+        "duration_sec": (50 + int.from_bytes(h[2:4], "big") % 6000) / 100.0,
         "feat_hash": h.hex()[:16],
     }
 

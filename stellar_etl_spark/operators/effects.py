@@ -10,8 +10,8 @@ Spark-first shape: build a per-turn array of conditional effect structs,
 falls out of the post-filter position, and the whole emitter chain stays in
 whole-stage codegen (no UDTF, no Python).
 
-Effect rules (the emitter-table analog). Codes 0-7 are row-local
-(:func:`extract_effects`, shuffle-free); codes 8-16 need per-conversation
+Effect rules (the emitter-table analog). Codes 0-11 are row-local
+(:func:`extract_effects`, shuffle-free); codes 12-24 need per-conversation
 lag context and live in :func:`extract_effects_contextual` (one conv_id
 window pass — the CEP-flavored half of the emitter table):
 
@@ -25,15 +25,23 @@ window pass — the CEP-flavored half of the emitter table):
 | 5    | unicode_text        | multibyte text (bytes != chars)       |
 | 6    | short_turn          | 1..3 tokens                           |
 | 7    | mixed_script        | ascii letters AND multibyte together  |
-| 8    | first_assistant     | first assistant turn of the conv      |
-| 9    | first_tool_use      | first tool turn of the conv           |
-| 10   | long_silence        | > 300 s since previous turn           |
-| 11   | session_resumed     | > 1800 s since previous turn          |
-| 12   | turn_burst          | <= 5 s since previous turn            |
-| 13   | tool_changed        | tool turn, differs from last tool     |
-| 14   | repeated_speaker    | same role as previous turn            |
-| 15   | assistant_after_tool| assistant preceded by a tool turn     |
-| 16   | conversation_closed | last turn of the conv                 |
+| 8    | long_chars          | > 150 chars                           |
+| 9    | repeat_heavy        | >= 4 tokens, < half distinct          |
+| 10   | single_token        | exactly 1 token                       |
+| 11   | emoji_text          | contains an emoji vocab mark          |
+| 12   | first_assistant     | first assistant turn of the conv      |
+| 13   | first_tool_use      | first tool turn of the conv           |
+| 14   | long_silence        | > 300 s since previous turn           |
+| 15   | session_resumed     | > 1800 s since previous turn          |
+| 16   | turn_burst          | <= 5 s since previous turn            |
+| 17   | tool_changed        | tool turn, differs from last tool     |
+| 18   | repeated_speaker    | same role as previous turn            |
+| 19   | assistant_after_tool| assistant preceded by a tool turn     |
+| 20   | conversation_closed | last turn of the conv                 |
+| 21   | speaker_changed     | different role than previous turn     |
+| 22   | first_user          | first user turn of the conv           |
+| 23   | conv_midpoint       | 2 * turn_idx == max turn_idx          |
+| 24   | second_half         | 2 * turn_idx > max turn_idx           |
 """
 
 from __future__ import annotations
@@ -54,15 +62,23 @@ EFFECT_TYPES = {
     5: "unicode_text",
     6: "short_turn",
     7: "mixed_script",
-    8: "first_assistant",
-    9: "first_tool_use",
-    10: "long_silence",
-    11: "session_resumed",
-    12: "turn_burst",
-    13: "tool_changed",
-    14: "repeated_speaker",
-    15: "assistant_after_tool",
-    16: "conversation_closed",
+    8: "long_chars",
+    9: "repeat_heavy",
+    10: "single_token",
+    11: "emoji_text",
+    12: "first_assistant",
+    13: "first_tool_use",
+    14: "long_silence",
+    15: "session_resumed",
+    16: "turn_burst",
+    17: "tool_changed",
+    18: "repeated_speaker",
+    19: "assistant_after_tool",
+    20: "conversation_closed",
+    21: "speaker_changed",
+    22: "first_user",
+    23: "conv_midpoint",
+    24: "second_half",
 }
 
 
@@ -77,13 +93,33 @@ def _effect(code: int, cond: Column, details: Column) -> Column:
     )
 
 
-def _row_local_emitters(long_turn_tokens: int) -> list[Column]:
-    """Emitters 0-7: deterministic on the row alone (shuffle-free)."""
-    n_tokens = textfn.token_count(F.col("text"))
-    empty = F.coalesce(F.col("text"), F.lit("")) == ""
+def _prepare_row_signals(df: DataFrame) -> DataFrame:
+    """Materialize the per-row signals the emitter table reads in ONE
+    projection. Emitters reference these columns by name, so the text is
+    split/scanned once per row no matter how many rules consume the result
+    (each Column-expression rule re-deriving token_count was measured 2.4x
+    slower at 12 rules — Catalyst does not CSE across the emitter array)."""
     s = F.coalesce(F.col("text"), F.lit(""))
-    multibyte = F.octet_length(s) != F.length(s)
-    has_ascii_letter = s.rlike("[A-Za-z]")
+    return df.select(
+        "*",
+        s.alias("_s"),
+        textfn.token_count(F.col("text")).alias("_ntok"),
+        F.size(F.array_distinct(textfn.tokens(F.col("text")))).alias("_ndistinct"),
+        F.length(s).alias("_nchar"),
+        (F.octet_length(s) != F.length(s)).alias("_mb"),
+        s.rlike("[A-Za-z]").alias("_ascii_letter"),
+        s.contains("🙂").alias("_emoji"),
+    )
+
+
+def _row_local_emitters(long_turn_tokens: int) -> list[Column]:
+    """Emitters 0-11: deterministic on the row alone (shuffle-free). Reads
+    the precomputed signal columns from :func:`_prepare_row_signals`."""
+    n_tokens = F.col("_ntok")
+    empty = F.col("_s") == ""
+    s = F.col("_s")
+    multibyte = F.col("_mb")
+    has_ascii_letter = F.col("_ascii_letter")
     return [
         _effect(
             0,
@@ -109,6 +145,22 @@ def _row_local_emitters(long_turn_tokens: int) -> list[Column]:
             F.create_map(F.lit("n_tokens"), n_tokens.cast("string")),
         ),
         _effect(7, multibyte & has_ascii_letter, F.create_map(F.lit("role"), F.col("role"))),
+        _effect(
+            8,
+            F.col("_nchar") > 150,
+            F.create_map(F.lit("n_chars"), F.col("_nchar").cast("string")),
+        ),
+        _effect(
+            9,
+            (n_tokens >= 4) & (F.col("_ndistinct") * 2 < n_tokens),
+            F.create_map(F.lit("n_tokens"), n_tokens.cast("string")),
+        ),
+        _effect(
+            10,
+            n_tokens == 1,
+            F.create_map(F.lit("n_tokens"), n_tokens.cast("string")),
+        ),
+        _effect(11, F.col("_emoji"), F.create_map(F.lit("role"), F.col("role"))),
     ]
 
 
@@ -144,7 +196,7 @@ def extract_effects(
     # Failed turns emit nothing (effects.go:55-57) — filter BEFORE the explode
     # so the excluded rows never materialize.
     return _explode_emitters(
-        df.where(is_successful(F.col("text"))),
+        _prepare_row_signals(df.where(is_successful(F.col("text")))),
         _row_local_emitters(long_turn_tokens),
         seq,
     )
@@ -169,13 +221,14 @@ def extract_effects_contextual(
     w_prior = w.rowsBetween(Window.unboundedPreceding, -1)
     w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
-    base = df.where(is_successful(F.col("text"))).select(
+    base = _prepare_row_signals(df.where(is_successful(F.col("text")))).select(
         "*",
         F.lag("ts").over(w).alias("_prev_ts"),
         F.lag("role").over(w).alias("_prev_role"),
         F.last("tool", ignorenulls=True).over(w_prior).alias("_prev_tool"),
         F.count(F.when(F.col("role") == "assistant", 1)).over(w_prior).alias("_n_prior_assistant"),
         F.count(F.when(F.col("role") == "tool", 1)).over(w_prior).alias("_n_prior_tool"),
+        F.count(F.when(F.col("role") == "user", 1)).over(w_prior).alias("_n_prior_user"),
         F.max("turn_idx").over(w_all).alias("_max_turn_idx"),
     )
     gap = (
@@ -186,20 +239,20 @@ def extract_effects_contextual(
 
     contextual = [
         _effect(
-            8,
+            12,
             (F.col("role") == "assistant") & (F.col("_n_prior_assistant") == 0),
             F.create_map(F.lit("turn_idx"), F.col("turn_idx").cast("string")),
         ),
         _effect(
-            9,
+            13,
             (F.col("role") == "tool") & (F.col("_n_prior_tool") == 0),
             F.create_map(F.lit("tool"), F.coalesce(F.col("tool"), F.lit(""))),
         ),
-        _effect(10, has_prev & (gap > silence_sec), gap_map),
-        _effect(11, has_prev & (gap > resume_sec), gap_map),
-        _effect(12, has_prev & (gap <= burst_sec), gap_map),
+        _effect(14, has_prev & (gap > silence_sec), gap_map),
+        _effect(15, has_prev & (gap > resume_sec), gap_map),
+        _effect(16, has_prev & (gap <= burst_sec), gap_map),
         _effect(
-            13,
+            17,
             (F.col("role") == "tool")
             & F.col("_prev_tool").isNotNull()
             & (F.col("_prev_tool") != F.coalesce(F.col("tool"), F.lit(""))),
@@ -209,18 +262,38 @@ def extract_effects_contextual(
             ),
         ),
         _effect(
-            14,
+            18,
             has_prev & (F.col("_prev_role") == F.col("role")),
             F.create_map(F.lit("role"), F.col("role")),
         ),
         _effect(
-            15,
+            19,
             (F.col("role") == "assistant") & (F.col("_prev_role") == "tool"),
             F.create_map(F.lit("role"), F.col("role")),
         ),
         _effect(
-            16,
+            20,
             F.col("turn_idx") == F.col("_max_turn_idx"),
+            F.create_map(F.lit("turn_idx"), F.col("turn_idx").cast("string")),
+        ),
+        _effect(
+            21,
+            has_prev & (F.col("_prev_role") != F.col("role")),
+            F.create_map(F.lit("from"), F.col("_prev_role"), F.lit("to"), F.col("role")),
+        ),
+        _effect(
+            22,
+            (F.col("role") == "user") & (F.col("_n_prior_user") == 0),
+            F.create_map(F.lit("turn_idx"), F.col("turn_idx").cast("string")),
+        ),
+        _effect(
+            23,
+            F.col("turn_idx") * 2 == F.col("_max_turn_idx"),
+            F.create_map(F.lit("turn_idx"), F.col("turn_idx").cast("string")),
+        ),
+        _effect(
+            24,
+            F.col("turn_idx") * 2 > F.col("_max_turn_idx"),
             F.create_map(F.lit("turn_idx"), F.col("turn_idx").cast("string")),
         ),
     ]

@@ -302,18 +302,26 @@ _SQL_EFFECT_RULES = [
     (5, "unicode_text", "is_mb"),
     (6, "short_turn", "ntok BETWEEN 1 AND 3"),
     (7, "mixed_script", "is_mb AND regexp_matches(coalesce(text, ''), '[A-Za-z]')"),
+    (8, "long_chars", "length(coalesce(text, '')) > 150"),
+    (9, "repeat_heavy", "ntok >= 4 AND len(list_distinct(toks)) * 2 < ntok"),
+    (10, "single_token", "ntok = 1"),
+    (11, "emoji_text", "contains(coalesce(text, ''), '🙂')"),
 ]
 _SQL_EFFECT_RULES_CTX = _SQL_EFFECT_RULES + [
-    (8, "first_assistant", "role = 'assistant' AND n_prior_assistant = 0"),
-    (9, "first_tool_use", "role = 'tool' AND n_prior_tool = 0"),
-    (10, "long_silence", "prev_ts IS NOT NULL AND gap_sec > 300"),
-    (11, "session_resumed", "prev_ts IS NOT NULL AND gap_sec > 1800"),
-    (12, "turn_burst", "prev_ts IS NOT NULL AND gap_sec <= 5"),
-    (13, "tool_changed",
+    (12, "first_assistant", "role = 'assistant' AND n_prior_assistant = 0"),
+    (13, "first_tool_use", "role = 'tool' AND n_prior_tool = 0"),
+    (14, "long_silence", "prev_ts IS NOT NULL AND gap_sec > 300"),
+    (15, "session_resumed", "prev_ts IS NOT NULL AND gap_sec > 1800"),
+    (16, "turn_burst", "prev_ts IS NOT NULL AND gap_sec <= 5"),
+    (17, "tool_changed",
      "role = 'tool' AND prev_tool IS NOT NULL AND prev_tool <> coalesce(tool, '')"),
-    (14, "repeated_speaker", "prev_ts IS NOT NULL AND prev_role = role"),
-    (15, "assistant_after_tool", "role = 'assistant' AND prev_role = 'tool'"),
-    (16, "conversation_closed", "turn_idx = max_turn_idx"),
+    (18, "repeated_speaker", "prev_ts IS NOT NULL AND prev_role = role"),
+    (19, "assistant_after_tool", "role = 'assistant' AND prev_role = 'tool'"),
+    (20, "conversation_closed", "turn_idx = max_turn_idx"),
+    (21, "speaker_changed", "prev_ts IS NOT NULL AND prev_role <> role"),
+    (22, "first_user", "role = 'user' AND n_prior_user = 0"),
+    (23, "conv_midpoint", "turn_idx * 2 = max_turn_idx"),
+    (24, "second_half", "turn_idx * 2 > max_turn_idx"),
 ]
 
 
@@ -332,6 +340,7 @@ ctxd AS (
     last_value(tool IGNORE NULLS) OVER ({prior}) AS prev_tool,
     count(*) FILTER (WHERE role = 'assistant') OVER ({prior}) AS n_prior_assistant,
     count(*) FILTER (WHERE role = 'tool') OVER ({prior}) AS n_prior_tool,
+    count(*) FILTER (WHERE role = 'user') OVER ({prior}) AS n_prior_user,
     max(turn_idx) OVER (PARTITION BY conv_id) AS max_turn_idx
   FROM succ
 ),
@@ -351,7 +360,9 @@ gapped AS (
     return f"""{TRANSCRIPTS_CTE},
 succ AS (
   SELECT *, {_SQL_TURN_ID} AS turn_id, {_SQL_NTOK} AS ntok,
-    (strlen(coalesce(text, '')) <> length(coalesce(text, ''))) AS is_mb
+    (strlen(coalesce(text, '')) <> length(coalesce(text, ''))) AS is_mb,
+    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
   FROM transcripts
   WHERE {_SQL_SUCCESSFUL}
 ){ctx_cte},
@@ -801,6 +812,52 @@ FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.vec, b.vec)
       / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)) + 1e-12)
       >= 0.5
+"""
+
+
+# --- multimodal plumbing: binary column -> mapInPandas feature extraction ---
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary decode path end-to-end: documents.text as the payload
+    bytes, kind switched on doc_id, features out of the Arrow-batched
+    mapInPandas decoder. The decoder is the deterministic content-hash fake
+    (no codec libs in this sandbox) — which is exactly what makes the FULL
+    pipeline (binary column, batch iteration, per-kind switch, schema) hash-
+    checkable against SQL; swap a real codec in via ``decoder=`` unchanged."""
+    from stellar_etl_spark.functions.multimodal import extract_media_features
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.col("text").cast("binary").alias("payload"),
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+    )
+    return extract_media_features(media)
+
+
+SQL_MEDIA_FEATURES = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    text,
+    sha256(text) AS h
+  FROM documents
+)
+SELECT media_id, kind,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  CASE WHEN text IS NOT NULL AND kind = 'image'
+       THEN CAST(64 + ('0x' || substr(h, 1, 2))::INTEGER % 192 AS INTEGER) END AS width,
+  CASE WHEN text IS NOT NULL AND kind = 'image'
+       THEN CAST(64 + ('0x' || substr(h, 3, 2))::INTEGER % 192 AS INTEGER) END AS height,
+  CASE WHEN text IS NOT NULL AND kind <> 'image'
+       THEN CAST(50 + ('0x' || substr(h, 5, 4))::INTEGER % 6000 AS DOUBLE) / 100.0
+       END AS duration_sec,
+  CASE WHEN text IS NOT NULL THEN substr(h, 1, 16) END AS feat_hash
+FROM m
 """
 
 
@@ -1397,6 +1454,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
+    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "tpch_pricing": (q_tpch_pricing, SQL_TPCH_PRICING),
     "tpch_segment_revenue": (q_tpch_segment_revenue, SQL_TPCH_SEGMENT_REVENUE),
     "timeline": (q_timeline, SQL_TIMELINE),

@@ -109,6 +109,12 @@ def test_contextual_effects_rules(micro):
     # conv_c turn 2 arrives out of order 5s BEFORE turn 1 -> gap <= 5 (burst)
     assert "turn_burst" in by[("conv_c", 2)]
     assert "first_assistant" not in by.get(("conv_a", 4), set())
+    # positional rules: conv_a successful turns are 0,1,2,4 (max 4)
+    assert "first_user" in by[("conv_a", 0)]
+    assert "speaker_changed" in by[("conv_a", 1)]
+    assert "conv_midpoint" in by[("conv_a", 2)]  # 2*2 == max_turn_idx 4
+    assert "second_half" in by[("conv_a", 4)]
+    assert "second_half" not in by[("conv_a", 2)]
 
 
 def test_effects_rules(micro):
