@@ -119,7 +119,10 @@ def run_level(cpus: int) -> dict:
 
 def main() -> None:
     started = time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime())
-    pregenerate()
+    # the source is deterministic (seeded generator) — reuse an existing copy
+    # when asked (saves ~6 min per repeat run in the same session)
+    if not (os.environ.get("SPARK_GRAFT_SCALE_REUSE_SRC") == "1" and os.path.isdir(SRC)):
+        pregenerate()
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     lo_runs = [run_level(N) for _ in range(reps)]
     hi_runs = [run_level(4 * N) for _ in range(reps)]
