@@ -42,7 +42,6 @@ import time, os, json, tempfile
 from stellar_etl_spark.session import get_spark
 from stellar_etl_spark.generator import read_transcripts
 from stellar_etl_spark.operators import extract_turns, extract_units, extract_effects
-from stellar_etl_spark.sources.transcripts import read_stream
 
 spark = get_spark("scale-level", cores=int(os.environ["C"]), streaming=True)
 # cluster warm-up: registers executors, JITs hash/string/codegen paths
@@ -62,14 +61,24 @@ def compute_pass():
 cold = compute_pass()
 warm = compute_pass()
 
-# secondary: full streaming export (exactly-once sink + checkpoint + lineage)
+# secondary: full streaming export through the real exactly-once sink
+# (epoch-keyed IdempotentSink + checkpoint + lineage), output coalesced to
+# one file per core — the batch otherwise lands one tiny zstd file per
+# source split, the measured bottleneck of the export stage
+from stellar_etl_spark.streaming.pipeline import run_fanout_export
 tmp = tempfile.mkdtemp()
-def fanout(bdf, eid):
-    for name, ex in [("turns", extract_turns), ("units", extract_units), ("effects", extract_effects)]:
-        ex(bdf).write.mode("overwrite").parquet(f"{tmp}/{name}")
-q = (read_stream(spark, os.environ["SRC"]).writeStream.foreachBatch(fanout)
-     .option("checkpointLocation", tmp + "/ck").trigger(availableNow=True).start())
-t0 = time.time(); q.awaitTermination(1800); stream_sec = time.time() - t0
+t0 = time.time()
+run_fanout_export(
+    spark, os.environ["SRC"],
+    {"turns": extract_turns, "units": extract_units, "effects": extract_effects},
+    tmp + "/out", tmp + "/ck",
+    keys={"turns": ("conv_id", "turn_idx"),
+          "units": ("conv_id", "turn_idx", "unit_idx"),
+          "effects": ("conv_id", "turn_idx", "effect_index")},
+    timeout_sec=1800,
+    output_partitions=int(os.environ["C"]),
+)
+stream_sec = time.time() - t0
 
 print("RESULT " + json.dumps({
     "n_turns": int(n_turns),

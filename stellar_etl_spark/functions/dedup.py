@@ -274,6 +274,18 @@ def simhash_rows_portable(
     return votes.select("id", pack("vh").alias("sig_hi"), pack("vl").alias("sig_lo"))
 
 
+def _check_block_recall(max_hamming: int) -> None:
+    """4x16-bit block banding guarantees recall 1 only for hamming <= 3
+    (pigeonhole: 4 bit flips can land one in each block, so no block need
+    match). Silently under-reporting pairs at larger radii would also fail
+    the brute-force SQL oracle — reject instead."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-block banding recall "
+            "guarantee (<= 3); add more/smaller blocks for a larger radius"
+        )
+
+
 def simhash_near_dups_portable(
     df: DataFrame,
     text_col: str = "text",
@@ -286,6 +298,7 @@ def simhash_near_dups_portable(
     Candidates via 4x16-bit block banding (pigeonhole: hamming <= 3 implies
     at least one equal block — recall exactly 1), verified with bit_count on
     the halves. Shuffle carries (block, id, sig) only."""
+    _check_block_recall(max_hamming)
     sigs = simhash_rows_portable(df, text_col, id_col, k)
     blocks = sigs.select(
         "id",
@@ -333,6 +346,7 @@ def simhash_near_dups(
     """SimHash near-dup candidates: 4-block banding (two blocks must match for
     hamming<=3 by pigeonhole over 4 blocks... conservatively we join on any
     single matching 16-bit block, then verify hamming <= max_hamming)."""
+    _check_block_recall(max_hamming)
     sigs = simhash_rows(df, text_col, id_col, k)
     blocks = sigs.select(
         "id",

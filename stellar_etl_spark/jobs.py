@@ -46,6 +46,19 @@ def _common(p: argparse.ArgumentParser) -> None:
         "600s for bounded runs (which ERROR if still active at the deadline)",
     )
     p.add_argument("--cores", type=int, default=None)
+    p.add_argument(
+        "--output-partitions",
+        type=int,
+        default=None,
+        help="files per committed epoch (default: cluster default parallelism; "
+        "0 keeps the input partitioning — one file per source split)",
+    )
+    p.add_argument(
+        "--no-text-b64",
+        action="store_true",
+        help="drop the raw-envelope text_b64 column from the turns export "
+        "(deployments that also run export_changes/turns_raw already have it)",
+    )
     p.add_argument("--strict-export", action="store_true", default=True)
     p.add_argument("--lenient", dest="strict_export", action="store_false")
     p.add_argument("--extra-fields", nargs="*", default=[], metavar="K=V")
@@ -129,6 +142,16 @@ def main(argv: list[str] | None = None) -> int:
     from stellar_etl_spark.streaming.state import streaming_pairs
 
     extra = dict(kv.split("=", 1) for kv in args.extra_fields)
+    # one resolved deadline for every run mode (fanout + lenient included):
+    # --follow defaults to no deadline, bounded runs to 600s + error-on-overrun
+    timeout = args.timeout_sec if args.timeout_sec is not None else (
+        None if args.follow else 600
+    )
+    out_parts = args.output_partitions
+    if out_parts is None:
+        out_parts = spark.sparkContext.defaultParallelism
+    elif out_parts == 0:
+        out_parts = None
 
     def wrap(ex):
         # strict path: fatal-on-invalid guard inline (lenient routing happens
@@ -145,8 +168,11 @@ def main(argv: list[str] | None = None) -> int:
 
         return inner
 
+    def turns_ex(df):
+        return extract_turns(df, include_b64=not args.no_text_b64)
+
     raw_extractors = {
-        "export_turns": extract_turns,
+        "export_turns": turns_ex,
         "export_units": extract_units,
         "export_effects": extract_effects,
         "export_timeline": extract_timeline,
@@ -154,7 +180,7 @@ def main(argv: list[str] | None = None) -> int:
     }
 
     extractors = {
-        "export_turns": (wrap(extract_turns), ("conv_id", "turn_idx")),
+        "export_turns": (wrap(turns_ex), ("conv_id", "turn_idx")),
         # streaming conversation summaries must be windowed (a global
         # non-windowed agg cannot emit in append mode)
         "export_conversations": (
@@ -190,6 +216,9 @@ def main(argv: list[str] | None = None) -> int:
             args.sink,
             args.checkpoint,
             keys={n: k for n, (ex, k) in fan.items()},
+            timeout_sec=timeout,
+            max_files_per_trigger=args.max_files_per_trigger,
+            output_partitions=out_parts,
         )
         print(json.dumps({
             n: (s.read_sink(spark).count() if s.has_epochs() else 0)
@@ -207,11 +236,11 @@ def main(argv: list[str] | None = None) -> int:
                 f"--lenient is unsupported for {args.cmd} (stateful/windowed); "
                 "pre-clean the input with a lenient export_turns first"
             )
-        sink = IdempotentSink(args.sink, keys)
+        sink = IdempotentSink(args.sink, keys, output_partitions=out_parts)
         rejected = IdempotentSink(args.sink + "_rejected", ("conv_id", "turn_idx"))
         run_validated_export(
             spark, args.source, plain(raw_extractors[args.cmd]), sink, rejected,
-            args.checkpoint, strict=False,
+            args.checkpoint, strict=False, timeout_sec=timeout,
         )
         print(json.dumps({
             "cmd": args.cmd,
@@ -226,12 +255,10 @@ def main(argv: list[str] | None = None) -> int:
             keys,
             batch_transform=lambda df: compact_last_state(df, ["conv_id"]),
             order_cols=("ts", "turn_idx"),
+            output_partitions=out_parts,
         )
     else:
-        sink = IdempotentSink(args.sink, keys)
-    # --follow with no explicit deadline runs until killed; bounded runs keep
-    # the 600s default but now ERROR (not silently truncate) on overrun.
-    timeout = args.timeout_sec if args.timeout_sec is not None else (None if args.follow else 600)
+        sink = IdempotentSink(args.sink, keys, output_partitions=out_parts)
     metrics = run_export(
         spark,
         args.source,

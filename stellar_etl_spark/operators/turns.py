@@ -24,19 +24,28 @@ from stellar_etl_spark.functions.scalars import b64, interval_str, is_successful
 from stellar_etl_spark.schemas import ROLE_CODES
 
 
-def extract_turns(df: DataFrame, conv_seq: Column | None = None) -> DataFrame:
+def extract_turns(
+    df: DataFrame, conv_seq: Column | None = None, include_b64: bool = True
+) -> DataFrame:
     """Project the transcripts table into the TURNS output schema.
 
     ``conv_seq`` overrides the conversation sequence derivation (default:
     stable 30-bit hash of ``conv_id``). Oracle-checked jobs pass a
     SQL-reproducible sequence instead of the hash.
+
+    ``include_b64`` gates the raw-envelope column: the reference splits the
+    raw vs parsed products across export *types* (``TransactionOutput`` with
+    envelope vs the parsed-field exports), so a deployment that also runs the
+    raw passthrough export (T3, ``turns_raw``) can drop the duplicate
+    ``text_b64`` here — it is the third full-text scan per row and the
+    encoding half of the export stage's measured CPU ceiling.
     """
     seq = conv_seq if conv_seq is not None else toid_mod.conv_seq("conv_id")
     txt = F.col("text")
     successful = is_successful(txt)
     ts_sec = F.unix_timestamp("ts")
 
-    return df.select(
+    cols = [
         toid_mod.toid(seq, "turn_idx").alias("turn_id"),
         F.col("conv_id"),
         seq.alias("conv_seq"),
@@ -46,10 +55,11 @@ def extract_turns(df: DataFrame, conv_seq: Column | None = None) -> DataFrame:
         F.col("tool"),
         txt.alias("text"),
         sha256_hex(F.coalesce(txt, F.lit(""))).alias("text_sha256"),
-        b64(txt).alias("text_b64"),
+        *([b64(txt).alias("text_b64")] if include_b64 else []),
         F.length(F.coalesce(txt, F.lit(""))).cast("long").alias("n_chars"),
         textfn.token_count(txt).alias("n_tokens"),
         successful.alias("successful"),
         F.col("ts"),
         interval_str(ts_sec, ts_sec + 1).alias("ts_interval"),
-    )
+    ]
+    return df.select(*cols)

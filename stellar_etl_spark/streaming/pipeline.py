@@ -100,9 +100,10 @@ def run_fanout_export(
     sink_root: str,
     checkpoint: str,
     keys: dict[str, tuple[str, ...]] | None = None,
-    timeout_sec: int = 600,
+    timeout_sec: int | None = 600,
     max_files_per_trigger: int | None = None,
     persist_batch: bool = False,
+    output_partitions: int | None = None,
 ) -> dict[str, IdempotentSink]:
     """S12 GetAllHistory: one scan, N extractor outputs per micro-batch.
 
@@ -111,9 +112,24 @@ def run_fanout_export(
     local/columnar sources leave it off: measured on this engine, extractors
     reading Spark's in-memory cache run 3-5x SLOWER than re-scanning parquet
     (the vectorized reader + page cache beat the cache's columnar→row path),
-    so the default re-scans."""
+    so the default re-scans.
+
+    ``timeout_sec`` follows :func:`run_export` semantics exactly: ``None``
+    waits without deadline; a bounded (AvailableNow) run still active at the
+    deadline raises TimeoutError instead of silently truncating and then
+    reporting per-sink counts as if complete.
+
+    ``output_partitions`` coalesces each extractor's output before the write —
+    the input micro-batch arrives in one partition per source file (thousands
+    for a day-partitioned table), and writing one tiny zstd file per split is
+    the measured bottleneck of the export stage (+75% throughput from
+    ``coalesce(32)`` when CPU-bound, BENCH/ADDENDA.md)."""
     sinks = {
-        name: IdempotentSink(f"{sink_root}/{name}", (keys or {}).get(name, ("conv_id", "turn_idx")))
+        name: IdempotentSink(
+            f"{sink_root}/{name}",
+            (keys or {}).get(name, ("conv_id", "turn_idx")),
+            output_partitions=output_partitions,
+        )
         for name in extractors
     }
 
@@ -134,10 +150,23 @@ def run_fanout_export(
         .trigger(availableNow=True)
         .start()
     )
+    _await_bounded(q, timeout_sec)
+    return sinks
+
+
+def _await_bounded(q, timeout_sec: int | None) -> None:
+    """Wait for a bounded (AvailableNow) query; overrunning an explicit
+    deadline is an ERROR, never a silent truncation."""
+    if timeout_sec is None:
+        q.awaitTermination()
+        return
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
-    return sinks
+        raise TimeoutError(
+            f"bounded export still running after {timeout_sec}s — "
+            "raise timeout_sec (or pass None) instead of truncating"
+        )
 
 
 def run_validated_export(
@@ -148,7 +177,7 @@ def run_validated_export(
     rejected_sink: IdempotentSink,
     checkpoint: str,
     strict: bool = False,
-    timeout_sec: int = 600,
+    timeout_sec: int | None = 600,
 ) -> None:
     """K5 lenient mode, end-to-end: per micro-batch, split valid/rejected
     (validation runs on the batch plan, so rejected rows route to their own
@@ -168,9 +197,7 @@ def run_validated_export(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
-        q.stop()
+    _await_bounded(q, timeout_sec)
 
 
 # -- K5 strict/lenient row validation ---------------------------------------

@@ -47,9 +47,16 @@ class IdempotentSink:
         keys: tuple[str, ...] = ("conv_id", "turn_idx"),
         batch_transform=None,
         order_cols: tuple[str, ...] = (),
+        output_partitions: int | None = None,
     ):
         self.path = path
         self.keys = list(keys)
+        # coalesce the batch to this many output files per epoch. A streaming
+        # micro-batch arrives in one partition per source file; writing one
+        # tiny zstd parquet per split dominates the export stage on narrow
+        # extractors (measured +75% turns/s from coalesce(32) when CPU-bound).
+        # At cluster scale set this ~ total cores; None keeps input shape.
+        self.output_partitions = output_partitions
         # applied inside foreachBatch — the place for operators that need a
         # *batch* plan (window functions etc.) in a streaming job, e.g. the
         # per-micro-batch ChangeCompactor (A4)
@@ -64,6 +71,8 @@ class IdempotentSink:
 
         if self.batch_transform is not None:
             df = self.batch_transform(df)
+        if self.output_partitions:
+            df = df.coalesce(self.output_partitions)
         out_dir = os.path.join(self.path, f"epoch={epoch_id}")
         # the lineage row count rides the write job as an observed metric —
         # no second job per epoch (the count re-read cost one extra Spark job
@@ -132,9 +141,19 @@ class IcebergMergeSink:
     on real deployments only).
     """
 
-    def __init__(self, table: str, keys: tuple[str, ...] = ("conv_id", "turn_idx")):
+    def __init__(
+        self,
+        table: str,
+        keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+        order_cols: tuple[str, ...] = (),
+    ):
         self.table = table
         self.keys = list(keys)
+        # intra-batch dedup precedence ("latest wins"); empty = all non-key
+        # columns in name order — any DETERMINISTIC order works, it just has
+        # to be a pure function of the row data so a checkpoint replay picks
+        # the same survivor as the batch's first attempt
+        self.order_cols = list(order_cols)
 
     @staticmethod
     def available(spark: SparkSession) -> bool:
@@ -149,8 +168,18 @@ class IcebergMergeSink:
         # Iceberg raises a cardinality error if several source rows match one
         # target row; at-least-once delivery can duplicate keys within a
         # micro-batch, so dedup on the business key first (latest wins,
-        # mirroring read_sink precedence).
-        w = Window.partitionBy(*self.keys).orderBy(F.monotonically_increasing_id().desc())
+        # mirroring read_sink precedence). The pick must be DETERMINISTIC
+        # across task retries and checkpoint replays (exactly-once contract) —
+        # monotonically_increasing_id() is not; order by data columns instead.
+        from pyspark.sql.types import MapType
+
+        # maps are not orderable in Spark — skip them in the fallback order
+        order = self.order_cols or sorted(
+            f.name
+            for f in df.schema.fields
+            if f.name not in self.keys and not isinstance(f.dataType, MapType)
+        )
+        w = Window.partitionBy(*self.keys).orderBy(*[F.col(c).desc_nulls_last() for c in order])
         df = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
         view = f"_merge_src_{epoch_id}"
         df.createOrReplaceTempView(view)
