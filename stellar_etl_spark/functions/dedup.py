@@ -342,11 +342,18 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     k: int = 1,
+    strict_recall: bool = True,
 ) -> DataFrame:
     """SimHash near-dup candidates: 4-block banding (two blocks must match for
     hamming<=3 by pigeonhole over 4 blocks... conservatively we join on any
-    single matching 16-bit block, then verify hamming <= max_hamming)."""
-    _check_block_recall(max_hamming)
+    single matching 16-bit block, then verify hamming <= max_hamming).
+
+    ``strict_recall=False`` acknowledges the banding guarantee stops at
+    hamming 3 and runs larger radii as a best-effort candidate HEURISTIC
+    (pairs differing in every block are missed); the default raises instead
+    of silently under-reporting."""
+    if strict_recall:
+        _check_block_recall(max_hamming)
     sigs = simhash_rows(df, text_col, id_col, k)
     blocks = sigs.select(
         "id",

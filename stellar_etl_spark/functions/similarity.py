@@ -201,6 +201,7 @@ def lsh_topk(
     seed: int = 42,
     probe_hamming: int = 0,
     tables: int = 1,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k: join query and corpus on the LSH bucket, rank within
     bucket. Two standard recall amplifiers compose:
@@ -212,6 +213,15 @@ def lsh_topk(
       candidate needs to collide in ANY table. The corpus is hashed (and its
       join keys replicated) once per table: the classic index-size-for-recall
       trade (state carries (table, bucket, id), never the vectors twice).
+
+    ``broadcast_queries`` picks the join strategy for the probe-expanded
+    query side: ``True`` forces a broadcast (right for top-k-for-few-queries
+    — the sampled-query shape), ``False`` leaves it to AQE/sort-merge (right
+    when queries ≈ corpus, where tables*probes*|queries| rows would blow the
+    broadcast). Default ``None`` auto-picks: broadcast only when the
+    pre-explosion query plan is itself broadcast-sized is unknowable cheaply,
+    so it broadcasts iff ``tables * n_probe_keys`` stays under ~4096 keys per
+    query — the measured safe envelope on this engine.
 
     Recall is a function of true similarity: high-sim neighbors collide
     almost surely, near-orthogonal ones almost never — measured numbers in
@@ -257,11 +267,15 @@ def lsh_topk(
                 F.array(*[F.col("bkt").bitwiseXOR(F.lit(m).cast("long")) for m in masks])
             ).alias("bkt"),
         )
+    if broadcast_queries is None:
+        n_probe_keys = len(_probe_masks(bits, probe_hamming)) if probe_hamming > 0 else 1
+        broadcast_queries = tables * n_probe_keys <= 4096
+    q_side = F.broadcast(q) if broadcast_queries else q
     # within one table a corpus row has one bucket and probe keys are
     # distinct, but the same pair can collide in several TABLES — dedup on
     # (query, neighbor) before ranking
     scored = (
-        c.join(F.broadcast(q), ["tbl", "bkt"])
+        c.join(q_side, ["tbl", "bkt"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",

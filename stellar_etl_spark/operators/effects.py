@@ -1,5 +1,6 @@
 """T5: effect fan-out — the TransformEffect analog
-(``internal/transform/effects.go:23-169`` + ~40 emitters).
+(``internal/transform/effects.go:23-169`` + its ~40 emitter functions,
+dispatch ``effects.go:54-169``, enum ``schema.go:377-486``).
 
 The reference flatMaps each *successful* transaction into 0..N typed effect
 rows (failed txs emit nothing, ``effects.go:55-57``), assigns a dense per-op
@@ -10,41 +11,33 @@ Spark-first shape: build a per-turn array of conditional effect structs,
 falls out of the post-filter position, and the whole emitter chain stays in
 whole-stage codegen (no UDTF, no Python).
 
-Effect rules (the emitter-table analog). Codes 0-11 are row-local
-(:func:`extract_effects`, shuffle-free); codes 12-24 need per-conversation
-lag context and live in :func:`extract_effects_contextual` (one conv_id
-window pass — the CEP-flavored half of the emitter table):
+**One rule table, two engines.** Every emitter is an :class:`EffectRule`
+carrying BOTH the Spark Column builders and the DuckDB SQL fragments; the
+registry generates the oracle SQL from this same table, so an added rule is
+automatically oracle-checked (condition, details values, dense index) with
+zero drift risk.
 
-| code | type                | fires when (successful turns only)    |
-|------|---------------------|---------------------------------------|
-| 0    | turn_added          | every turn                            |
-| 1    | tool_invoked        | tool turn                             |
-| 2    | empty_text          | empty text                            |
-| 3    | long_turn           | > 30 tokens                           |
-| 4    | conversation_opened | turn_idx == 0                         |
-| 5    | unicode_text        | multibyte text (bytes != chars)       |
-| 6    | short_turn          | 1..3 tokens                           |
-| 7    | mixed_script        | ascii letters AND multibyte together  |
-| 8    | long_chars          | > 150 chars                           |
-| 9    | repeat_heavy        | >= 4 tokens, < half distinct          |
-| 10   | single_token        | exactly 1 token                       |
-| 11   | emoji_text          | contains an emoji vocab mark          |
-| 12   | first_assistant     | first assistant turn of the conv      |
-| 13   | first_tool_use      | first tool turn of the conv           |
-| 14   | long_silence        | > 300 s since previous turn           |
-| 15   | session_resumed     | > 1800 s since previous turn          |
-| 16   | turn_burst          | <= 5 s since previous turn            |
-| 17   | tool_changed        | tool turn, differs from last tool     |
-| 18   | repeated_speaker    | same role as previous turn            |
-| 19   | assistant_after_tool| assistant preceded by a tool turn     |
-| 20   | conversation_closed | last turn of the conv                 |
-| 21   | speaker_changed     | different role than previous turn     |
-| 22   | first_user          | first user turn of the conv           |
-| 23   | conv_midpoint       | 2 * turn_idx == max turn_idx          |
-| 24   | second_half         | 2 * turn_idx > max turn_idx           |
+Rule families (mirroring the reference's emitter shapes):
+
+- codes 0-11 — row-local (``accountCreated``/``trustlineFlagsUpdated``-style
+  single-entry emitters): deterministic on the row alone, shuffle-free
+  (:func:`extract_effects`);
+- codes 12-24 — lag-context over the conv_id window (the CEP half);
+- codes 25-33 — state-diff flavored (``account_credited/debited`` balance
+  deltas → token growth/shrink, running balances → cumulative-token
+  milestones, flag set/clear → text resumed, last-of-group closures);
+- codes 34-37 — per-(conv_id, tool) window (``signer added/removed`` /
+  sponsorship-chain shape — the J3 within-group prior-op lookback): first/
+  last use of each tool kind, args changed/repeated vs the prior call of the
+  SAME tool. The second window partitioning rides the conv_id Exchange
+  (hash(conv_id) already clusters (conv_id, tool)), so the whole contextual
+  plan still has exactly ONE shuffle — pinned in tests/test_plans.py.
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable
+from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
@@ -53,41 +46,364 @@ from stellar_etl_spark import toid as toid_mod
 from stellar_etl_spark.functions import text as textfn
 from stellar_etl_spark.functions.scalars import is_successful
 
-EFFECT_TYPES = {
-    0: "turn_added",
-    1: "tool_invoked",
-    2: "empty_text",
-    3: "long_turn",
-    4: "conversation_opened",
-    5: "unicode_text",
-    6: "short_turn",
-    7: "mixed_script",
-    8: "long_chars",
-    9: "repeat_heavy",
-    10: "single_token",
-    11: "emoji_text",
-    12: "first_assistant",
-    13: "first_tool_use",
-    14: "long_silence",
-    15: "session_resumed",
-    16: "turn_burst",
-    17: "tool_changed",
-    18: "repeated_speaker",
-    19: "assistant_after_tool",
-    20: "conversation_closed",
-    21: "speaker_changed",
-    22: "first_user",
-    23: "conv_midpoint",
-    24: "second_half",
-}
+# default thresholds (the SQL side of the rule table is generated with these;
+# Spark-side overrides exist for unit tests only)
+LONG_TURN_TOKENS = 30
+SILENCE_SEC = 300
+RESUME_SEC = 1800
+BURST_SEC = 5
+MILESTONE_TOKENS = 256
 
 
-def _effect(code: int, cond: Column, details: Column) -> Column:
+class EffectRule(NamedTuple):
+    """One emitter, expressed for both engines.
+
+    ``cond``/``details`` build Spark Columns lazily (classic-mode ``F.col``
+    needs an active session) from the signal columns prepared by
+    :func:`_prepare_row_signals` / :func:`extract_effects_contextual`;
+    ``sql_cond``/``sql_details`` are DuckDB expressions over the identically
+    named signal aliases of the generated oracle CTE (plans/registry.py).
+    ``cond`` receives the threshold params dict.
+    """
+
+    code: int
+    name: str
+    contextual: bool
+    cond: Callable[[dict], Column]
+    details: tuple[tuple[str, Callable[[], Column]], ...]
+    sql_cond: str
+    sql_details: tuple[tuple[str, str], ...]
+
+
+def _gap() -> Column:
+    return (
+        F.floor(F.unix_timestamp("ts")) - F.floor(F.unix_timestamp("_prev_ts"))
+    ).cast("long")
+
+
+def _prev_gap() -> Column:
+    return (
+        F.floor(F.unix_timestamp("_prev_ts")) - F.floor(F.unix_timestamp("_prev2_ts"))
+    ).cast("long")
+
+
+def _s(name: str) -> Callable[[], Column]:
+    return lambda: F.col(name).cast("string")
+
+
+_ROLE = ("role", lambda: F.col("role"))
+_NTOK = ("n_tokens", _s("_ntok"))
+_TURN_IDX = ("turn_idx", _s("turn_idx"))
+_TOOL = ("tool", lambda: F.coalesce(F.col("tool"), F.lit("")))
+_GAP = ("gap_sec", lambda: _gap().cast("string"))
+
+_SQL_ROLE = ("role", "role")
+_SQL_NTOK = ("n_tokens", "CAST(ntok AS VARCHAR)")
+_SQL_TURN_IDX = ("turn_idx", "CAST(turn_idx AS VARCHAR)")
+_SQL_TOOL = ("tool", "coalesce(tool, '')")
+# DuckDB floor(epoch()) is DOUBLE — go through BIGINT so the string matches
+# Spark's long formatting ("50102", not "50102.0")
+_SQL_GAP = ("gap_sec", "CAST(CAST(gap_sec AS BIGINT) AS VARCHAR)")
+
+
+EFFECT_RULES: list[EffectRule] = [
+    # -- row-local (0-11) ----------------------------------------------------
+    EffectRule(
+        0, "turn_added", False,
+        lambda p: F.lit(True),
+        (_ROLE, _NTOK),
+        "TRUE", (_SQL_ROLE, _SQL_NTOK),
+    ),
+    EffectRule(
+        1, "tool_invoked", False,
+        lambda p: F.col("role") == "tool",
+        (_TOOL,),
+        "role = 'tool'", (_SQL_TOOL,),
+    ),
+    EffectRule(
+        2, "empty_text", False,
+        lambda p: F.col("_s") == "",
+        (_ROLE,),
+        "coalesce(text, '') = ''", (_SQL_ROLE,),
+    ),
+    EffectRule(
+        3, "long_turn", False,
+        lambda p: F.col("_ntok") > p["long_turn_tokens"],
+        (_NTOK,),
+        f"ntok > {LONG_TURN_TOKENS}", (_SQL_NTOK,),
+    ),
+    EffectRule(
+        4, "conversation_opened", False,
+        lambda p: F.col("turn_idx") == 0,
+        (_ROLE,),
+        "turn_idx = 0", (_SQL_ROLE,),
+    ),
+    EffectRule(
+        5, "unicode_text", False,
+        lambda p: F.col("_mb"),
+        (_ROLE,),
+        "is_mb", (_SQL_ROLE,),
+    ),
+    EffectRule(
+        6, "short_turn", False,
+        lambda p: (F.col("_ntok") >= 1) & (F.col("_ntok") <= 3),
+        (_NTOK,),
+        "ntok BETWEEN 1 AND 3", (_SQL_NTOK,),
+    ),
+    EffectRule(
+        7, "mixed_script", False,
+        lambda p: F.col("_mb") & F.col("_ascii_letter"),
+        (_ROLE,),
+        "is_mb AND regexp_matches(coalesce(text, ''), '[A-Za-z]')", (_SQL_ROLE,),
+    ),
+    EffectRule(
+        8, "long_chars", False,
+        lambda p: F.col("_nchar") > 150,
+        (("n_chars", _s("_nchar")),),
+        "length(coalesce(text, '')) > 150",
+        (("n_chars", "CAST(length(coalesce(text, '')) AS VARCHAR)"),),
+    ),
+    EffectRule(
+        9, "repeat_heavy", False,
+        lambda p: (F.col("_ntok") >= 4) & (F.col("_ndistinct") * 2 < F.col("_ntok")),
+        (_NTOK,),
+        "ntok >= 4 AND len(list_distinct(toks)) * 2 < ntok", (_SQL_NTOK,),
+    ),
+    EffectRule(
+        10, "single_token", False,
+        lambda p: F.col("_ntok") == 1,
+        (_NTOK,),
+        "ntok = 1", (_SQL_NTOK,),
+    ),
+    EffectRule(
+        11, "emoji_text", False,
+        lambda p: F.col("_emoji"),
+        (_ROLE,),
+        "contains(coalesce(text, ''), '🙂')", (_SQL_ROLE,),
+    ),
+    # -- lag-context over the conv_id window (12-24) -------------------------
+    EffectRule(
+        12, "first_assistant", True,
+        lambda p: (F.col("role") == "assistant") & (F.col("_n_prior_assistant") == 0),
+        (_TURN_IDX,),
+        "role = 'assistant' AND n_prior_assistant = 0", (_SQL_TURN_IDX,),
+    ),
+    EffectRule(
+        13, "first_tool_use", True,
+        lambda p: (F.col("role") == "tool") & (F.col("_n_prior_tool") == 0),
+        (_TOOL,),
+        "role = 'tool' AND n_prior_tool = 0", (_SQL_TOOL,),
+    ),
+    EffectRule(
+        14, "long_silence", True,
+        lambda p: F.col("_prev_ts").isNotNull() & (_gap() > p["silence_sec"]),
+        (_GAP,),
+        f"prev_ts IS NOT NULL AND gap_sec > {SILENCE_SEC}", (_SQL_GAP,),
+    ),
+    EffectRule(
+        15, "session_resumed", True,
+        lambda p: F.col("_prev_ts").isNotNull() & (_gap() > p["resume_sec"]),
+        (_GAP,),
+        f"prev_ts IS NOT NULL AND gap_sec > {RESUME_SEC}", (_SQL_GAP,),
+    ),
+    EffectRule(
+        16, "turn_burst", True,
+        lambda p: F.col("_prev_ts").isNotNull() & (_gap() <= p["burst_sec"]),
+        (_GAP,),
+        f"prev_ts IS NOT NULL AND gap_sec <= {BURST_SEC}", (_SQL_GAP,),
+    ),
+    EffectRule(
+        17, "tool_changed", True,
+        lambda p: (F.col("role") == "tool")
+        & F.col("_prev_tool").isNotNull()
+        & (F.col("_prev_tool") != F.coalesce(F.col("tool"), F.lit(""))),
+        (("from", lambda: F.col("_prev_tool")), ("to", _TOOL[1])),
+        "role = 'tool' AND prev_tool IS NOT NULL AND prev_tool <> coalesce(tool, '')",
+        (("from", "prev_tool"), ("to", "coalesce(tool, '')")),
+    ),
+    EffectRule(
+        18, "repeated_speaker", True,
+        lambda p: F.col("_prev_ts").isNotNull() & (F.col("_prev_role") == F.col("role")),
+        (_ROLE,),
+        "prev_ts IS NOT NULL AND prev_role = role", (_SQL_ROLE,),
+    ),
+    EffectRule(
+        19, "assistant_after_tool", True,
+        lambda p: (F.col("role") == "assistant") & (F.col("_prev_role") == "tool"),
+        (_ROLE,),
+        "role = 'assistant' AND prev_role = 'tool'", (_SQL_ROLE,),
+    ),
+    EffectRule(
+        20, "conversation_closed", True,
+        lambda p: F.col("turn_idx") == F.col("_max_turn_idx"),
+        (_TURN_IDX,),
+        "turn_idx = max_turn_idx", (_SQL_TURN_IDX,),
+    ),
+    EffectRule(
+        21, "speaker_changed", True,
+        lambda p: F.col("_prev_ts").isNotNull() & (F.col("_prev_role") != F.col("role")),
+        (("from", lambda: F.col("_prev_role")), ("to", lambda: F.col("role"))),
+        "prev_ts IS NOT NULL AND prev_role <> role",
+        (("from", "prev_role"), ("to", "role")),
+    ),
+    EffectRule(
+        22, "first_user", True,
+        lambda p: (F.col("role") == "user") & (F.col("_n_prior_user") == 0),
+        (_TURN_IDX,),
+        "role = 'user' AND n_prior_user = 0", (_SQL_TURN_IDX,),
+    ),
+    EffectRule(
+        23, "conv_midpoint", True,
+        lambda p: F.col("turn_idx") * 2 == F.col("_max_turn_idx"),
+        (_TURN_IDX,),
+        "turn_idx * 2 = max_turn_idx", (_SQL_TURN_IDX,),
+    ),
+    EffectRule(
+        24, "second_half", True,
+        lambda p: F.col("turn_idx") * 2 > F.col("_max_turn_idx"),
+        (_TURN_IDX,),
+        "turn_idx * 2 > max_turn_idx", (_SQL_TURN_IDX,),
+    ),
+    # -- state-diff shapes (25-33): balance-delta / running-balance /
+    # flag-transition / group-closure emitter flavors -------------------------
+    EffectRule(
+        25, "turn_grew", True,
+        lambda p: (F.col("_prev_ntok") > 0) & (F.col("_ntok") > F.col("_prev_ntok") * 2),
+        (("from", _s("_prev_ntok")), ("to", _s("_ntok"))),
+        "prev_ntok > 0 AND ntok > prev_ntok * 2",
+        (("from", "CAST(prev_ntok AS VARCHAR)"), ("to", "CAST(ntok AS VARCHAR)")),
+    ),
+    EffectRule(
+        26, "turn_shrank", True,
+        lambda p: (F.col("_prev_ntok") > 0) & (F.col("_ntok") * 2 < F.col("_prev_ntok")),
+        (("from", _s("_prev_ntok")), ("to", _s("_ntok"))),
+        "prev_ntok > 0 AND ntok * 2 < prev_ntok",
+        (("from", "CAST(prev_ntok AS VARCHAR)"), ("to", "CAST(ntok AS VARCHAR)")),
+    ),
+    EffectRule(
+        27, "text_resumed", True,
+        lambda p: F.col("_prev_ts").isNotNull()
+        & (F.col("_prev_ntok") == 0)
+        & (F.col("_ntok") > 0),
+        (_TURN_IDX,),
+        "prev_ts IS NOT NULL AND prev_ntok = 0 AND ntok > 0", (_SQL_TURN_IDX,),
+    ),
+    EffectRule(
+        28, "token_milestone", True,
+        lambda p: F.floor(F.col("_cum_tok") / p["milestone_tokens"])
+        > F.floor((F.col("_cum_tok") - F.col("_ntok")) / p["milestone_tokens"]),
+        (("cum_tokens", _s("_cum_tok")),),
+        f"floor(cum_tok / {MILESTONE_TOKENS}) > floor((cum_tok - ntok) / {MILESTONE_TOKENS})",
+        (("cum_tokens", "CAST(cum_tok AS VARCHAR)"),),
+    ),
+    EffectRule(
+        29, "first_long_turn", True,
+        lambda p: (F.col("_ntok") > p["long_turn_tokens"]) & (F.col("_n_prior_long") == 0),
+        (_NTOK,),
+        f"ntok > {LONG_TURN_TOKENS} AND n_prior_long = 0", (_SQL_NTOK,),
+    ),
+    EffectRule(
+        30, "gap_doubled", True,
+        lambda p: F.col("_prev2_ts").isNotNull()
+        & (_prev_gap() >= 1)
+        & (_gap() > _prev_gap() * 2),
+        (_GAP,),
+        "prev2_ts IS NOT NULL AND prev_gap >= 1 AND gap_sec > prev_gap * 2",
+        (_SQL_GAP,),
+    ),
+    EffectRule(
+        31, "role_cycle", True,
+        lambda p: F.col("_prev2_ts").isNotNull()
+        & (F.col("_prev2_role") == F.col("role"))
+        & (F.col("_prev_role") != F.col("role")),
+        (_ROLE,),
+        "prev2_ts IS NOT NULL AND prev2_role = role AND prev_role <> role",
+        (_SQL_ROLE,),
+    ),
+    EffectRule(
+        32, "last_user_turn", True,
+        lambda p: (F.col("role") == "user") & (F.col("turn_idx") == F.col("_max_user_idx")),
+        (_TURN_IDX,),
+        "role = 'user' AND turn_idx = max_user_idx", (_SQL_TURN_IDX,),
+    ),
+    EffectRule(
+        33, "last_assistant_turn", True,
+        lambda p: (F.col("role") == "assistant")
+        & (F.col("turn_idx") == F.col("_max_assistant_idx")),
+        (_TURN_IDX,),
+        "role = 'assistant' AND turn_idx = max_assistant_idx", (_SQL_TURN_IDX,),
+    ),
+    # -- per-(conv_id, tool) window (34-37): the J3 within-group prior-op
+    # lookback (signer add/remove + sponsorship-chain emitter shape) ----------
+    EffectRule(
+        34, "tool_first_of_kind", True,
+        lambda p: (F.col("role") == "tool")
+        & F.col("tool").isNotNull()
+        & F.col("_tool_prev_idx").isNull(),
+        (_TOOL,),
+        "role = 'tool' AND tool IS NOT NULL AND tool_prev_idx IS NULL", (_SQL_TOOL,),
+    ),
+    EffectRule(
+        35, "tool_last_of_kind", True,
+        lambda p: (F.col("role") == "tool")
+        & F.col("tool").isNotNull()
+        & F.col("_tool_next_idx").isNull(),
+        (_TOOL, ("n_uses", _s("_tool_n_uses"))),
+        "role = 'tool' AND tool IS NOT NULL AND tool_next_idx IS NULL",
+        (_SQL_TOOL, ("n_uses", "CAST(tool_n_uses AS VARCHAR)")),
+    ),
+    EffectRule(
+        36, "tool_args_changed", True,
+        lambda p: (F.col("role") == "tool")
+        & F.col("_tool_prev_text").isNotNull()
+        & (F.col("_tool_prev_text") != F.col("_s")),
+        (_TOOL,),
+        "role = 'tool' AND tool_prev_text IS NOT NULL AND tool_prev_text <> coalesce(text, '')",
+        (_SQL_TOOL,),
+    ),
+    EffectRule(
+        37, "tool_args_repeated", True,
+        lambda p: (F.col("role") == "tool")
+        & F.col("_tool_prev_text").isNotNull()
+        & (F.col("_tool_prev_text") == F.col("_s")),
+        (_TOOL,),
+        "role = 'tool' AND tool_prev_text IS NOT NULL AND tool_prev_text = coalesce(text, '')",
+        (_SQL_TOOL,),
+    ),
+]
+
+EFFECT_TYPES = {r.code: r.name for r in EFFECT_RULES}
+
+# every details key across the table, in first-appearance order — the
+# `effects_details` oracle projects one typed column per key
+DETAIL_KEYS: list[str] = []
+for _r in EFFECT_RULES:
+    for _k, _ in _r.details:
+        if _k not in DETAIL_KEYS:
+            DETAIL_KEYS.append(_k)
+
+
+def _default_params(**overrides) -> dict:
+    p = {
+        "long_turn_tokens": LONG_TURN_TOKENS,
+        "silence_sec": SILENCE_SEC,
+        "resume_sec": RESUME_SEC,
+        "burst_sec": BURST_SEC,
+        "milestone_tokens": MILESTONE_TOKENS,
+    }
+    p.update({k: v for k, v in overrides.items() if v is not None})
+    return p
+
+
+def _emitter(rule: EffectRule, params: dict) -> Column:
+    details = F.create_map(
+        *[c for key, build in rule.details for c in (F.lit(key), build())]
+    )
     return F.when(
-        cond,
+        rule.cond(params),
         F.struct(
-            F.lit(code).alias("effect_type"),
-            F.lit(EFFECT_TYPES[code]).alias("effect_type_string"),
+            F.lit(rule.code).alias("effect_type"),
+            F.lit(rule.name).alias("effect_type_string"),
             details.alias("details"),
         ),
     )
@@ -110,58 +426,6 @@ def _prepare_row_signals(df: DataFrame) -> DataFrame:
         s.rlike("[A-Za-z]").alias("_ascii_letter"),
         s.contains("🙂").alias("_emoji"),
     )
-
-
-def _row_local_emitters(long_turn_tokens: int) -> list[Column]:
-    """Emitters 0-11: deterministic on the row alone (shuffle-free). Reads
-    the precomputed signal columns from :func:`_prepare_row_signals`."""
-    n_tokens = F.col("_ntok")
-    empty = F.col("_s") == ""
-    s = F.col("_s")
-    multibyte = F.col("_mb")
-    has_ascii_letter = F.col("_ascii_letter")
-    return [
-        _effect(
-            0,
-            F.lit(True),
-            F.create_map(F.lit("role"), F.col("role"), F.lit("n_tokens"), n_tokens.cast("string")),
-        ),
-        _effect(
-            1,
-            F.col("role") == "tool",
-            F.create_map(F.lit("tool"), F.coalesce(F.col("tool"), F.lit(""))),
-        ),
-        _effect(2, empty, F.create_map(F.lit("role"), F.col("role"))),
-        _effect(
-            3,
-            n_tokens > long_turn_tokens,
-            F.create_map(F.lit("n_tokens"), n_tokens.cast("string")),
-        ),
-        _effect(4, F.col("turn_idx") == 0, F.create_map(F.lit("role"), F.col("role"))),
-        _effect(5, multibyte, F.create_map(F.lit("role"), F.col("role"))),
-        _effect(
-            6,
-            (n_tokens >= 1) & (n_tokens <= 3),
-            F.create_map(F.lit("n_tokens"), n_tokens.cast("string")),
-        ),
-        _effect(7, multibyte & has_ascii_letter, F.create_map(F.lit("role"), F.col("role"))),
-        _effect(
-            8,
-            F.col("_nchar") > 150,
-            F.create_map(F.lit("n_chars"), F.col("_nchar").cast("string")),
-        ),
-        _effect(
-            9,
-            (n_tokens >= 4) & (F.col("_ndistinct") * 2 < n_tokens),
-            F.create_map(F.lit("n_tokens"), n_tokens.cast("string")),
-        ),
-        _effect(
-            10,
-            n_tokens == 1,
-            F.create_map(F.lit("n_tokens"), n_tokens.cast("string")),
-        ),
-        _effect(11, F.col("_emoji"), F.create_map(F.lit("role"), F.col("role"))),
-    ]
 
 
 def _explode_emitters(df: DataFrame, emitters: list[Column], seq: Column) -> DataFrame:
@@ -188,37 +452,48 @@ def _explode_emitters(df: DataFrame, emitters: list[Column], seq: Column) -> Dat
 
 
 def extract_effects(
-    df: DataFrame, long_turn_tokens: int = 30, conv_seq: Column | None = None
+    df: DataFrame, long_turn_tokens: int = LONG_TURN_TOKENS, conv_seq: Column | None = None
 ) -> DataFrame:
-    """Fan transcripts out into the EFFECTS output schema (row-local rules
-    0-7 — a narrow transform, no shuffle)."""
+    """Fan transcripts out into the EFFECTS output schema — the row-local
+    half of the rule table (codes 0-11): a narrow transform, no shuffle."""
     seq = conv_seq if conv_seq is not None else toid_mod.conv_seq("conv_id")
+    params = _default_params(long_turn_tokens=long_turn_tokens)
     # Failed turns emit nothing (effects.go:55-57) — filter BEFORE the explode
     # so the excluded rows never materialize.
+    emitters = [_emitter(r, params) for r in EFFECT_RULES if not r.contextual]
     return _explode_emitters(
         _prepare_row_signals(df.where(is_successful(F.col("text")))),
-        _row_local_emitters(long_turn_tokens),
+        emitters,
         seq,
     )
 
 
 def extract_effects_contextual(
     df: DataFrame,
-    long_turn_tokens: int = 30,
-    silence_sec: int = 300,
-    resume_sec: int = 1800,
-    burst_sec: int = 5,
+    long_turn_tokens: int = LONG_TURN_TOKENS,
+    silence_sec: int = SILENCE_SEC,
+    resume_sec: int = RESUME_SEC,
+    burst_sec: int = BURST_SEC,
     conv_seq: Column | None = None,
 ) -> DataFrame:
-    """The full emitter table (0-16): row-local rules plus per-conversation
-    lag-context rules, over successful turns ordered by turn_idx.
+    """The full emitter table (codes 0-37): row-local rules plus
+    per-conversation lag/state-diff rules plus per-(conv_id, tool) group
+    rules, over successful turns ordered by turn_idx.
 
-    One conv_id window pass supplies all the context (lag ts/role, last prior
-    tool, prior role counts, partition max) — the explode itself stays narrow,
-    so the plan is exactly one Exchange (pinned in tests/test_plans.py)."""
+    Two window passes supply all context, but only ONE Exchange: the conv_id
+    window shuffles; the (conv_id, tool) window above it is satisfied by the
+    existing hash(conv_id) clustering and only adds a local sort (pinned in
+    tests/test_plans.py). The explode itself stays narrow."""
     seq = conv_seq if conv_seq is not None else toid_mod.conv_seq("conv_id")
+    params = _default_params(
+        long_turn_tokens=long_turn_tokens,
+        silence_sec=silence_sec,
+        resume_sec=resume_sec,
+        burst_sec=burst_sec,
+    )
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     w_prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
     base = _prepare_row_signals(df.where(is_successful(F.col("text")))).select(
@@ -230,71 +505,30 @@ def extract_effects_contextual(
         F.count(F.when(F.col("role") == "tool", 1)).over(w_prior).alias("_n_prior_tool"),
         F.count(F.when(F.col("role") == "user", 1)).over(w_prior).alias("_n_prior_user"),
         F.max("turn_idx").over(w_all).alias("_max_turn_idx"),
+        # state-diff signals (25-33)
+        F.lag("_ntok").over(w).alias("_prev_ntok"),
+        F.sum("_ntok").over(w_cum).alias("_cum_tok"),
+        F.count(F.when(F.col("_ntok") > params["long_turn_tokens"], 1))
+        .over(w_prior)
+        .alias("_n_prior_long"),
+        F.lag("ts", 2).over(w).alias("_prev2_ts"),
+        F.lag("role", 2).over(w).alias("_prev2_role"),
+        F.max(F.when(F.col("role") == "user", F.col("turn_idx"))).over(w_all).alias("_max_user_idx"),
+        F.max(F.when(F.col("role") == "assistant", F.col("turn_idx")))
+        .over(w_all)
+        .alias("_max_assistant_idx"),
     )
-    gap = (
-        F.floor(F.unix_timestamp("ts")) - F.floor(F.unix_timestamp("_prev_ts"))
-    ).cast("long")
-    gap_map = F.create_map(F.lit("gap_sec"), gap.cast("string"))
-    has_prev = F.col("_prev_ts").isNotNull()
-
-    contextual = [
-        _effect(
-            12,
-            (F.col("role") == "assistant") & (F.col("_n_prior_assistant") == 0),
-            F.create_map(F.lit("turn_idx"), F.col("turn_idx").cast("string")),
-        ),
-        _effect(
-            13,
-            (F.col("role") == "tool") & (F.col("_n_prior_tool") == 0),
-            F.create_map(F.lit("tool"), F.coalesce(F.col("tool"), F.lit(""))),
-        ),
-        _effect(14, has_prev & (gap > silence_sec), gap_map),
-        _effect(15, has_prev & (gap > resume_sec), gap_map),
-        _effect(16, has_prev & (gap <= burst_sec), gap_map),
-        _effect(
-            17,
-            (F.col("role") == "tool")
-            & F.col("_prev_tool").isNotNull()
-            & (F.col("_prev_tool") != F.coalesce(F.col("tool"), F.lit(""))),
-            F.create_map(
-                F.lit("from"), F.col("_prev_tool"),
-                F.lit("to"), F.coalesce(F.col("tool"), F.lit("")),
-            ),
-        ),
-        _effect(
-            18,
-            has_prev & (F.col("_prev_role") == F.col("role")),
-            F.create_map(F.lit("role"), F.col("role")),
-        ),
-        _effect(
-            19,
-            (F.col("role") == "assistant") & (F.col("_prev_role") == "tool"),
-            F.create_map(F.lit("role"), F.col("role")),
-        ),
-        _effect(
-            20,
-            F.col("turn_idx") == F.col("_max_turn_idx"),
-            F.create_map(F.lit("turn_idx"), F.col("turn_idx").cast("string")),
-        ),
-        _effect(
-            21,
-            has_prev & (F.col("_prev_role") != F.col("role")),
-            F.create_map(F.lit("from"), F.col("_prev_role"), F.lit("to"), F.col("role")),
-        ),
-        _effect(
-            22,
-            (F.col("role") == "user") & (F.col("_n_prior_user") == 0),
-            F.create_map(F.lit("turn_idx"), F.col("turn_idx").cast("string")),
-        ),
-        _effect(
-            23,
-            F.col("turn_idx") * 2 == F.col("_max_turn_idx"),
-            F.create_map(F.lit("turn_idx"), F.col("turn_idx").cast("string")),
-        ),
-        _effect(
-            24,
-            F.col("turn_idx") * 2 > F.col("_max_turn_idx"),
-            F.create_map(F.lit("turn_idx"), F.col("turn_idx").cast("string")),
-        ),
-    ]
-    return _explode_emitters(base, _row_local_emitters(long_turn_tokens) + contextual, seq)
+    # per-(conv_id, tool) group signals (34-37) — planned ABOVE the conv_id
+    # window so hash(conv_id) already satisfies the clustered distribution
+    # (subset rule): local sort only, no second Exchange
+    wt = Window.partitionBy("conv_id", "tool").orderBy("turn_idx")
+    wt_all = wt.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base = base.select(
+        "*",
+        F.lag("turn_idx").over(wt).alias("_tool_prev_idx"),
+        F.lead("turn_idx").over(wt).alias("_tool_next_idx"),
+        F.lag("_s").over(wt).alias("_tool_prev_text"),
+        F.count(F.lit(1)).over(wt_all).alias("_tool_n_uses"),
+    )
+    emitters = [_emitter(r, params) for r in EFFECT_RULES]
+    return _explode_emitters(base, emitters, seq)

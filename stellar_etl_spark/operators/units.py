@@ -62,10 +62,11 @@ def extract_units(
     unit_type = F.when(F.col("is_tool"), F.lit("tool_call")).otherwise(F.lit("span"))
 
     # The per-type details switch (operation.go:584-1184): map keys depend on
-    # the unit type AND the tool kind, exactly like the reference's op-type-
-    # specific details maps (27-way switch there; one arm per tool kind +
-    # span-level signals here). Every value is engine-portable (the
-    # `units_details` oracle recomputes each one in SQL).
+    # the unit type AND the tool kind AND (for spans) the emitting role,
+    # exactly like the reference's op-type-specific details maps (27-way
+    # switch there; 7 tool-kind arms + 3 role-span arms + the base span/tool
+    # maps here). Every value is engine-portable (the `units_details` oracle
+    # recomputes each one in SQL).
     has_unicode = (F.octet_length(payload) != F.length(payload)).cast("string")
     n_digits = F.length(F.regexp_replace(payload, "[^0-9]", "")).cast("string")
     tool_extra = (
@@ -94,6 +95,39 @@ def extract_units(
                 F.size(F.array_distinct(textfn.tokens(payload))).cast("string"),
             ),
         )
+        .when(
+            # transaction-ish tool kinds (the driver tables' vocabulary):
+            # purchase args carry a numeric payload — extract it
+            F.col("tool") == "purchase",
+            F.create_map(F.lit("k_value"), F.regexp_extract(payload, "[0-9]+", 0)),
+        )
+        .when(
+            # error-channel tool: message length after the failure prefix
+            F.col("tool") == "error",
+            F.create_map(
+                F.lit("error_chars"),
+                F.length(F.regexp_replace(payload, "^error: ", "")).cast("string"),
+            ),
+        )
+        .otherwise(F.create_map().cast("map<string,string>"))
+    )
+    # role-specific span arms (the reference's op-switch has per-source-kind
+    # arms; spans get one per emitting role)
+    span_extra = (
+        F.when(
+            F.col("role") == "user",
+            F.create_map(F.lit("is_question"), payload.contains("?").cast("string")),
+        )
+        .when(
+            F.col("role") == "assistant",
+            F.create_map(
+                F.lit("n_sentences"), F.size(F.split(payload, "\\.")).cast("string")
+            ),
+        )
+        .when(
+            F.col("role") == "system",
+            F.create_map(F.lit("has_directive"), payload.contains(":").cast("string")),
+        )
         .otherwise(F.create_map().cast("map<string,string>"))
     )
     details = F.when(
@@ -107,12 +141,15 @@ def extract_units(
             tool_extra,
         ),
     ).otherwise(
-        F.create_map(
-            # token_count, not raw split: F.split('') returns [''] (size 1)
-            F.lit("span_tokens"), textfn.token_count(payload).cast("string"),
-            F.lit("span_chars"), F.length(payload).cast("string"),
-            F.lit("has_unicode"), has_unicode,
-            F.lit("n_digits"), n_digits,
+        F.map_concat(
+            F.create_map(
+                # token_count, not raw split: F.split('') returns [''] (size 1)
+                F.lit("span_tokens"), textfn.token_count(payload).cast("string"),
+                F.lit("span_chars"), F.length(payload).cast("string"),
+                F.lit("has_unicode"), has_unicode,
+                F.lit("n_digits"), n_digits,
+            ),
+            span_extra,
         )
     )
 

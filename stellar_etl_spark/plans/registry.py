@@ -203,14 +203,19 @@ FROM expl
 # --- T4 per-type details (operation.go:584-1184 switch breadth) --------------
 _DETAIL_KEYS = [
     "tool", "args_sha256", "failed", "n_terms", "n_lines", "n_digits",
-    "payload_bytes", "n_unique_tokens", "span_tokens", "span_chars", "has_unicode",
+    "payload_bytes", "n_unique_tokens", "k_value", "error_chars",
+    "span_tokens", "span_chars", "has_unicode",
+    "is_question", "n_sentences", "has_directive",
 ]
 
 
 def q_units_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide projection of the per-unit-type details switch: one nullable
     column per detail key (map cells don't hash portably; typed columns do).
-    Exercises every arm — 5 tool kinds + span — against the oracle."""
+    Exercises every arm — 7 tool kinds + 3 role-specific span arms + the
+    base span/tool maps — against the oracle (the driver tables fire the
+    purchase/error tool arms and all 3 role span arms; the generator
+    vocabulary fires the other 5 tool kinds in pytest)."""
     units = extract_units(transcripts_from_events(spark, sf_dir), conv_seq=_seq())
     return units.select(
         "unit_id",
@@ -262,10 +267,17 @@ SELECT
   CASE WHEN is_tool AND tool = 'browse' THEN CAST(CASE WHEN trim(payload) = '' THEN 0
        ELSE len(list_distinct(regexp_split_to_array(trim(payload), '\\s+'))) END AS VARCHAR)
        END AS d_n_unique_tokens,
+  CASE WHEN is_tool AND tool = 'purchase' THEN regexp_extract(payload, '[0-9]+', 0) END AS d_k_value,
+  CASE WHEN is_tool AND tool = 'error'
+       THEN CAST(length(regexp_replace(payload, '^error: ', '')) AS VARCHAR) END AS d_error_chars,
   CASE WHEN NOT is_tool THEN CAST(CASE WHEN trim(payload) = '' THEN 0
        ELSE len(regexp_split_to_array(trim(payload), '\\s+')) END AS VARCHAR) END AS d_span_tokens,
   CASE WHEN NOT is_tool THEN CAST(length(payload) AS VARCHAR) END AS d_span_chars,
   CASE WHEN NOT is_tool THEN CAST(strlen(payload) <> length(payload) AS VARCHAR) END AS d_has_unicode,
+  CASE WHEN NOT is_tool AND role = 'user' THEN CAST(contains(payload, '?') AS VARCHAR) END AS d_is_question,
+  CASE WHEN NOT is_tool AND role = 'assistant'
+       THEN CAST(len(string_split(payload, '.')) AS VARCHAR) END AS d_n_sentences,
+  CASE WHEN NOT is_tool AND role = 'system' THEN CAST(contains(payload, ':') AS VARCHAR) END AS d_has_directive,
   ts
 FROM withp
 """
@@ -283,7 +295,8 @@ def q_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_effects_contextual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full emitter table (row-local + lag-context CEP rules, codes 0-16)."""
+    """Full emitter table (row-local + lag-context + state-diff + per-tool
+    group rules, codes 0-37)."""
     from stellar_etl_spark.operators.effects import extract_effects_contextual
 
     return extract_effects_contextual(
@@ -291,72 +304,85 @@ def q_effects_contextual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(*_EFFECT_COLS)
 
 
-# Emitter-table mirror (operators/effects.py docstring): (code, name, DuckDB
-# predicate). effect_index = count of lower-coded rules that also fired.
-_SQL_EFFECT_RULES = [
-    (0, "turn_added", "TRUE"),
-    (1, "tool_invoked", "role = 'tool'"),
-    (2, "empty_text", "coalesce(text, '') = ''"),
-    (3, "long_turn", "ntok > 30"),
-    (4, "conversation_opened", "turn_idx = 0"),
-    (5, "unicode_text", "is_mb"),
-    (6, "short_turn", "ntok BETWEEN 1 AND 3"),
-    (7, "mixed_script", "is_mb AND regexp_matches(coalesce(text, ''), '[A-Za-z]')"),
-    (8, "long_chars", "length(coalesce(text, '')) > 150"),
-    (9, "repeat_heavy", "ntok >= 4 AND len(list_distinct(toks)) * 2 < ntok"),
-    (10, "single_token", "ntok = 1"),
-    (11, "emoji_text", "contains(coalesce(text, ''), '🙂')"),
-]
-_SQL_EFFECT_RULES_CTX = _SQL_EFFECT_RULES + [
-    (12, "first_assistant", "role = 'assistant' AND n_prior_assistant = 0"),
-    (13, "first_tool_use", "role = 'tool' AND n_prior_tool = 0"),
-    (14, "long_silence", "prev_ts IS NOT NULL AND gap_sec > 300"),
-    (15, "session_resumed", "prev_ts IS NOT NULL AND gap_sec > 1800"),
-    (16, "turn_burst", "prev_ts IS NOT NULL AND gap_sec <= 5"),
-    (17, "tool_changed",
-     "role = 'tool' AND prev_tool IS NOT NULL AND prev_tool <> coalesce(tool, '')"),
-    (18, "repeated_speaker", "prev_ts IS NOT NULL AND prev_role = role"),
-    (19, "assistant_after_tool", "role = 'assistant' AND prev_role = 'tool'"),
-    (20, "conversation_closed", "turn_idx = max_turn_idx"),
-    (21, "speaker_changed", "prev_ts IS NOT NULL AND prev_role <> role"),
-    (22, "first_user", "role = 'user' AND n_prior_user = 0"),
-    (23, "conv_midpoint", "turn_idx * 2 = max_turn_idx"),
-    (24, "second_half", "turn_idx * 2 > max_turn_idx"),
-]
+def q_effects_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every emitter's details map, one typed VARCHAR column per detail key
+    (the units_details pattern — map cells don't hash portably; typed
+    columns do). Hash-covers the details VALUES of all 38 rules."""
+    from stellar_etl_spark.operators.effects import DETAIL_KEYS, extract_effects_contextual
+
+    eff = extract_effects_contextual(transcripts_from_events(spark, sf_dir), conv_seq=_seq())
+    return eff.select(
+        *_EFFECT_COLS,
+        *[F.col("details")[k].alias(f"d_{k}") for k in DETAIL_KEYS],
+    )
 
 
-def _sql_effects(rules: list[tuple[int, str, str]], contextual: bool) -> str:
-    flags = ",\n    ".join(f"({expr}) AS e{code}" for code, _, expr in rules)
+def _sql_effects(contextual: bool, with_details: bool = False) -> str:
+    """Generate the DuckDB oracle from the SAME rule table the Spark emitters
+    are built from (operators/effects.py EFFECT_RULES) — condition, dense
+    effect_index, and (with_details) every details value per rule."""
+    from stellar_etl_spark.operators.effects import DETAIL_KEYS, EFFECT_RULES
+
+    rules = [r for r in EFFECT_RULES if contextual or not r.contextual]
+    # coalesce to FALSE: a NULL predicate (lag signals at partition start)
+    # must mean "did not fire" exactly like Spark's F.when(NULL) — and must
+    # not NULL-poison the effect_index flag sums below
+    flags = ",\n    ".join(f"(coalesce({r.sql_cond}, FALSE)) AS e{r.code}" for r in rules)
     ctx_cte = ""
     src = "succ"
     if contextual:
-        prior = ("PARTITION BY conv_id ORDER BY turn_idx "
-                 "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING")
+        w = "PARTITION BY conv_id ORDER BY turn_idx"
+        prior = f"{w} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+        cum = f"{w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        tw = "PARTITION BY conv_id, tool ORDER BY turn_idx"
         ctx_cte = f""",
 ctxd AS (
   SELECT *,
-    lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts,
-    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+    lag(ts) OVER ({w}) AS prev_ts,
+    lag(role) OVER ({w}) AS prev_role,
     last_value(tool IGNORE NULLS) OVER ({prior}) AS prev_tool,
     count(*) FILTER (WHERE role = 'assistant') OVER ({prior}) AS n_prior_assistant,
     count(*) FILTER (WHERE role = 'tool') OVER ({prior}) AS n_prior_tool,
     count(*) FILTER (WHERE role = 'user') OVER ({prior}) AS n_prior_user,
-    max(turn_idx) OVER (PARTITION BY conv_id) AS max_turn_idx
+    count(*) FILTER (WHERE ntok > 30) OVER ({prior}) AS n_prior_long,
+    max(turn_idx) OVER (PARTITION BY conv_id) AS max_turn_idx,
+    lag(ntok) OVER ({w}) AS prev_ntok,
+    sum(ntok) OVER ({cum}) AS cum_tok,
+    lag(ts, 2) OVER ({w}) AS prev2_ts,
+    lag(role, 2) OVER ({w}) AS prev2_role,
+    max(turn_idx) FILTER (WHERE role = 'user') OVER (PARTITION BY conv_id) AS max_user_idx,
+    max(turn_idx) FILTER (WHERE role = 'assistant') OVER (PARTITION BY conv_id) AS max_assistant_idx,
+    lag(turn_idx) OVER ({tw}) AS tool_prev_idx,
+    lead(turn_idx) OVER ({tw}) AS tool_next_idx,
+    lag(coalesce(text, '')) OVER ({tw}) AS tool_prev_text,
+    count(*) OVER (PARTITION BY conv_id, tool) AS tool_n_uses
   FROM succ
 ),
 gapped AS (
-  SELECT *, floor(epoch(ts)) - floor(epoch(prev_ts)) AS gap_sec FROM ctxd
+  SELECT *, floor(epoch(ts)) - floor(epoch(prev_ts)) AS gap_sec,
+            floor(epoch(prev_ts)) - floor(epoch(prev2_ts)) AS prev_gap
+  FROM ctxd
 )"""
         src = "gapped"
     arms = []
-    for code, name, _ in rules:
-        idx = " + ".join(f"CAST(e{i} AS INTEGER)" for i, _, _ in rules if i < code) or "0"
+    for r in rules:
+        idx = " + ".join(f"CAST(e{o.code} AS INTEGER)" for o in rules if o.code < r.code) or "0"
+        det_cols = ""
+        if with_details:
+            exprs = dict(r.sql_details)
+            det_cols = ", " + ", ".join(
+                f"{exprs[k]} AS d_{k}" if k in exprs else f"CAST(NULL AS VARCHAR) AS d_{k}"
+                for k in DETAIL_KEYS
+            )
         arms.append(
-            f"SELECT conv_id, turn_idx, ts, turn_id, {code} AS effect_type, "
-            f"'{name}' AS effect_type_string, {idx} AS effect_index "
-            f"FROM flagged WHERE e{code}"
+            f"SELECT conv_id, turn_idx, ts, turn_id, {r.code} AS effect_type, "
+            f"'{r.name}' AS effect_type_string, {idx} AS effect_index{det_cols} "
+            f"FROM flagged WHERE e{r.code}"
         )
     fired = "\n  UNION ALL\n  ".join(arms)
+    det_out = ""
+    if with_details:
+        det_out = ",\n  " + ",\n  ".join(f"d_{k}" for k in DETAIL_KEYS)
     return f"""{TRANSCRIPTS_CTE},
 succ AS (
   SELECT *, {_SQL_TURN_ID} AS turn_id, {_SQL_NTOK} AS ntok,
@@ -382,13 +408,14 @@ SELECT
   CAST(effect_index AS INTEGER) AS effect_index,
   CAST(effect_type AS INTEGER) AS effect_type,
   effect_type_string,
-  ts
+  ts{det_out}
 FROM fired
 """
 
 
-SQL_EFFECTS = _sql_effects(_SQL_EFFECT_RULES, contextual=False)
-SQL_EFFECTS_CONTEXTUAL = _sql_effects(_SQL_EFFECT_RULES_CTX, contextual=True)
+SQL_EFFECTS = _sql_effects(contextual=False)
+SQL_EFFECTS_CONTEXTUAL = _sql_effects(contextual=True)
+SQL_EFFECTS_DETAILS = _sql_effects(contextual=True, with_details=True)
 
 
 # --- T17 wide conversation profile (config_setting.go:13-260 analog) --------
@@ -520,6 +547,86 @@ SELECT
   CAST(floor(epoch(resp_ts)) - floor(epoch(ts)) AS DOUBLE) AS latency_sec
 FROM win
 WHERE role = 'user'
+"""
+
+
+# --- J2/T6/S11 stateful streaming pairs (driver-facing) ----------------------
+def q_streaming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL stateful streaming path, driver-hash-checked — not the
+    batch twin: transcripts → file stream → watermark →
+    ``applyInPandasWithState`` matcher → checkpoint → exactly-once
+    IdempotentSink under Trigger.AvailableNow, then the merged sink read back.
+
+    Layout: one coalesced data file + one far-future flush-sentinel file
+    (written strictly later, so the file-stream processes it last), with
+    ``maxFilesPerTrigger=1`` — data batch, sentinel batch (advances the
+    watermark past every ``user_ts + lag``), then Spark's no-data batch fires
+    the event-time timeouts and the state drains. Oracle: the bounded
+    range-join SQL (same CEP semantics the stateful operator implements).
+    """
+    import shutil
+    import tempfile
+
+    from stellar_etl_spark.generator import write_transcripts
+    from stellar_etl_spark.streaming.pipeline import run_export
+    from stellar_etl_spark.streaming.sink import IdempotentSink
+    from stellar_etl_spark.streaming.state import streaming_pairs
+
+    tv = transcripts_from_events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="streaming_pairs_")
+    try:
+        src = f"{work}/src"
+        write_transcripts(tv.coalesce(1), src, partition_by_day=False)
+        max_ts = tv.agg(F.max("ts")).collect()[0][0]
+        sentinel = spark.createDataFrame(
+            [("flush", 0, "system", "", None, max_ts)],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+        sentinel.write.mode("append").parquet(src)
+
+        sink = IdempotentSink(f"{work}/pairs", ("conv_id", "user_turn_idx"))
+        run_export(
+            spark,
+            src,
+            lambda s: streaming_pairs(s, "2 minutes", 300),
+            sink,
+            f"{work}/ckpt",
+            max_files_per_trigger=1,
+        )
+        out = sink.read_sink(spark).where(F.col("conv_id") != "flush")
+        # materialize before the temp files go away
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+SQL_STREAMING_PAIRS = f"""{TRANSCRIPTS_CTE},
+users AS (
+  SELECT conv_id, turn_idx AS user_turn_idx, ts AS user_ts, text AS user_text
+  FROM transcripts WHERE role = 'user'
+),
+resps AS (
+  SELECT conv_id AS r_conv_id, turn_idx AS resp_turn_idx, role AS resp_role,
+         ts AS resp_ts, text AS resp_text
+  FROM transcripts WHERE role IN ('assistant', 'tool')
+),
+joined AS (
+  SELECT u.*, r.resp_turn_idx, r.resp_role, r.resp_ts, r.resp_text,
+    row_number() OVER (
+      PARTITION BY u.conv_id, u.user_turn_idx ORDER BY r.resp_turn_idx
+    ) AS rn
+  FROM users u
+  LEFT JOIN resps r
+    ON u.conv_id = r.r_conv_id
+   AND r.resp_turn_idx > u.user_turn_idx
+   AND r.resp_ts >= u.user_ts
+   AND r.resp_ts <= u.user_ts + INTERVAL 300 SECONDS
+)
+SELECT conv_id, user_turn_idx, user_ts, user_text,
+       resp_turn_idx, resp_role, resp_ts, resp_text,
+       CAST(floor(epoch(resp_ts)) - floor(epoch(user_ts)) AS DOUBLE) AS latency_sec
+FROM joined WHERE rn = 1
 """
 
 
@@ -1181,10 +1288,12 @@ SQL_DOC_SIMHASH_PAIRS = _sql_simhash_portable(3)
 
 def q_strkey_handles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7: vectorized pandas-UDF strkey encode/decode round trip over the
-    conversation ids. The oracle-checked invariant: every distinct conv_id
-    survives the round trip (the output below equals DISTINCT conv_id exactly
-    iff no id was lost or corrupted); the handle bytes themselves are pinned
-    by tests/test_functions_misc.py golden assertions."""
+    conversation ids. Driver-hash-checked down to the HANDLE BYTES: the
+    oracle joins each conv_id against handles precomputed by the independent
+    scalar reference implementation (encoding._crc16_xmodem + b32encode), so
+    the numpy batch CRC path is cross-checked value-for-value, not just for
+    round-trip survival. Rows that fail the decode round trip are dropped
+    (visible as a row-count mismatch)."""
     from stellar_etl_spark.functions.encoding import strkey_decode, strkey_encode
 
     tv = transcripts_from_events(spark, sf_dir).select("conv_id").distinct()
@@ -1192,12 +1301,37 @@ def q_strkey_handles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         enc.withColumn("decoded", strkey_decode(F.col("handle")))
         .where(F.col("decoded") == F.col("conv_id"))
-        .select("conv_id")
+        .select("conv_id", "handle")
     )
 
 
-SQL_STRKEY_HANDLES = f"""{TRANSCRIPTS_CTE}
-SELECT DISTINCT conv_id FROM transcripts
+def _strkey_expected_values(n_users: int = 1024) -> str:
+    """Literal (conv_id, handle) rows computed with the SCALAR reference
+    implementation — independent of the batch numpy path under test. Covers
+    the deterministic sf id space; an id outside it surfaces as a NULL handle
+    in the LEFT JOIN below (hash mismatch), never a silent drop."""
+    import base64 as _b64
+
+    from stellar_etl_spark.functions.encoding import _VERSION_BYTE, _crc16_xmodem
+
+    rows = []
+    for uid in range(n_users):
+        conv_id = f"conv_{uid:08d}"
+        payload = bytes([_VERSION_BYTE]) + conv_id.encode()
+        crc = _crc16_xmodem(payload)
+        handle = _b64.b32encode(payload + crc.to_bytes(2, "little")).decode().rstrip("=")
+        rows.append(f"('{conv_id}', '{handle}')")
+    return ",\n    ".join(rows)
+
+
+SQL_STRKEY_HANDLES = f"""{TRANSCRIPTS_CTE},
+expected(e_conv_id, handle) AS (
+  VALUES
+    {_strkey_expected_values()}
+)
+SELECT DISTINCT t.conv_id, e.handle
+FROM transcripts t
+LEFT JOIN expected e ON t.conv_id = e.e_conv_id
 """
 
 
@@ -1435,7 +1569,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "units_details": (q_units_details, SQL_UNITS_DETAILS),
     "effects": (q_effects, SQL_EFFECTS),
     "effects_contextual": (q_effects_contextual, SQL_EFFECTS_CONTEXTUAL),
+    "effects_details": (q_effects_details, SQL_EFFECTS_DETAILS),
     "pairs": (q_pairs, SQL_PAIRS),
+    # the stateful streaming path itself (applyInPandasWithState + checkpoint
+    # + exactly-once sink under AvailableNow), not its batch twin
+    "streaming_pairs": (q_streaming_pairs, SQL_STREAMING_PAIRS),
     "sessions": (q_sessions, SQL_SESSIONS),
     "first_turns": (q_first_turns, SQL_FIRST_TURNS),
     "last_state": (q_last_state, SQL_LAST_STATE),

@@ -53,7 +53,13 @@ def test_simhash_hamming(spark):
     two = spark.createDataFrame([(sigs[1], sigs[2]), (sigs[1], sigs[4])], "a long, b long")
     d12, d14 = [r["d"] for r in two.select(hamming64(F.col("a"), F.col("b")).alias("d")).collect()]
     assert d12 < d14  # near-dup closer than unrelated
-    near = simhash_near_dups(df, max_hamming=16).collect()
+    # radius 16 > the 4-block recall guarantee: explicitly opt into the
+    # best-effort heuristic mode (default raises — pinned below)
+    near = simhash_near_dups(df, max_hamming=16, strict_recall=False).collect()
+    import pytest
+
+    with pytest.raises(ValueError, match="recall"):
+        simhash_near_dups(df, max_hamming=16)
     assert (1, 2) in {(r["id_a"], r["id_b"]) for r in near}
 
 

@@ -94,6 +94,29 @@ def test_units_details_all_tool_arms(spark):
     assert d[5]["has_unicode"] == "true" and d[5]["n_digits"] == "2"
 
 
+def test_units_details_driver_vocab_and_role_arms(spark):
+    """The driver-table tool kinds (purchase/error) and the role-specific
+    span arms each produce their typed key."""
+    rows = [
+        ("c", 0, "tool", '{"k": 96}', "purchase", "2026-01-01 00:00:00"),
+        ("c", 1, "tool", "error: boom", "error", "2026-01-01 00:00:10"),
+        ("c", 2, "user", "what is it?", None, "2026-01-01 00:00:20"),
+        ("c", 3, "assistant", "It works. Trust me.", None, "2026-01-01 00:00:30"),
+        ("c", 4, "system", "rule: be helpful", None, "2026-01-01 00:00:40"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = {r["turn_idx"]: r["details"] for r in extract_units(df).collect()}
+    assert d[0]["k_value"] == "96"
+    assert d[1]["error_chars"] == str(len("boom")) and d[1]["failed"] == "true"
+    assert d[2]["is_question"] == "true"
+    assert d[3]["n_sentences"] == "3"  # "It works", " Trust me", ""
+    assert d[4]["has_directive"] == "true"
+    # arms stay exclusive: a user span has no assistant/system keys
+    assert "n_sentences" not in d[2] and "has_directive" not in d[2]
+
+
 def test_contextual_effects_rules(micro):
     from stellar_etl_spark.operators.effects import extract_effects_contextual
 
@@ -115,6 +138,49 @@ def test_contextual_effects_rules(micro):
     assert "conv_midpoint" in by[("conv_a", 2)]  # 2*2 == max_turn_idx 4
     assert "second_half" in by[("conv_a", 4)]
     assert "second_half" not in by[("conv_a", 2)]
+    # state-diff rules (25-33)
+    assert "turn_grew" in by[("conv_a", 1)]      # 5 tokens > 2*2
+    assert "turn_shrank" in by[("conv_c", 2)]    # 2 tokens, prev 9
+    assert "text_resumed" in by[("conv_c", 1)]   # empty turn 0 -> 9 tokens
+    assert "role_cycle" in by[("conv_a", 2)]     # user-assistant-user
+    assert "last_user_turn" in by[("conv_a", 2)]
+    assert "last_assistant_turn" in by[("conv_c", 1)]
+    # per-(conv, tool) rules (34-37): failed turn 3 excluded, so the single
+    # successful search call is both first and last of its kind
+    assert "tool_first_of_kind" in by[("conv_a", 4)]
+    assert "tool_last_of_kind" in by[("conv_a", 4)]
+    details = {
+        (r["conv_id"], r["turn_idx"], r["effect_type_string"]): r["details"]
+        for r in e.collect()
+    }
+    assert details[("conv_a", 4, "tool_last_of_kind")]["n_uses"] == "1"
+    assert details[("conv_a", 1, "turn_grew")] == {"from": "2", "to": "5"}
+
+
+def test_tool_args_diff_rules(spark):
+    """36/37: args changed/repeated vs the prior call of the SAME tool (the
+    J3 within-group prior-op lookback), across an interleaved other tool."""
+    from stellar_etl_spark.operators.effects import extract_effects_contextual
+
+    rows = [
+        ("d", 0, "tool", "x = 1", "calc", "2026-01-01 00:00:00"),
+        ("d", 1, "tool", "fetch it", "fetch", "2026-01-01 00:00:10"),
+        ("d", 2, "tool", "x = 1", "calc", "2026-01-01 00:00:20"),
+        ("d", 3, "tool", "x = 2", "calc", "2026-01-01 00:00:30"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    e = extract_effects_contextual(df)
+    by: dict = {}
+    for r in e.collect():
+        by.setdefault(r["turn_idx"], set()).add(r["effect_type_string"])
+    # turn 2 repeats turn 0's args (the interleaved fetch is ignored)
+    assert "tool_args_repeated" in by[2] and "tool_args_changed" not in by[2]
+    assert "tool_args_changed" in by[3] and "tool_args_repeated" not in by[3]
+    assert "tool_first_of_kind" in by[0] and "tool_first_of_kind" in by[1]
+    assert "tool_first_of_kind" not in by[2]
+    assert "tool_last_of_kind" in by[3] and "tool_last_of_kind" in by[1]
 
 
 def test_effects_rules(micro):

@@ -100,6 +100,28 @@ def test_pairs_single_shuffle(tdf):
     assert plan.count("Exchange") == 1  # one conv_id partitioning, reused
 
 
+def test_lsh_topk_join_variants(spark):
+    """Broadcast for the sampled-query shape; shuffle join (AQE's pick) when
+    the caller declares queries ~ corpus — both must plan as stated."""
+    from stellar_etl_spark.functions.similarity import lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 4)
+    # disable auto-broadcast so the planner's choice reflects OUR flag, not
+    # the tiny test corpus (at real scale the stats make this call)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bcast = lsh_topk(emb, qs, dim=64, bits=6, tables=2, broadcast_queries=True)
+        assert "BroadcastHashJoin" in _plan(bcast)  # hint overrides threshold
+        shuf = lsh_topk(emb, qs, dim=64, bits=6, tables=2, broadcast_queries=False)
+        assert "BroadcastHashJoin" not in _plan(shuf)
+        # rows must agree between the two physical strategies
+        assert sorted(map(tuple, bcast.collect())) == sorted(map(tuple, shuf.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_sessions_shares_partitioning(tdf):
     from stellar_etl_spark.operators import extract_sessions
 
