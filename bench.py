@@ -111,10 +111,13 @@ def main() -> None:
                         "effects": ("conv_id", "turn_idx", "effect_index"),
                     },
                     max_files_per_trigger=mfpt,
+                    output_partitions=cpus,
                 )
                 metrics = {}
             else:
-                sink = IdempotentSink(os.path.join(tmp, "turns_sink"))
+                # production default (jobs.py): one output file per core per
+                # epoch — the coalesce that removes the small-file write wall
+                sink = IdempotentSink(os.path.join(tmp, "turns_sink"), output_partitions=cpus)
                 metrics = run_export(
                     spark,
                     src,

@@ -148,17 +148,27 @@ def _pairs_fn(max_lag_sec: int):
                         any_ = m.any(axis=1)
                         match_pos[sl] = np.where(any_, m.argmax(axis=1), -1)
             has = match_pos >= 0
-            mp = np.where(has, match_pos, 0)
+            # rt may be EMPTY (a conversation with users but no buffered
+            # responses yet) — taking rt[mp] would fault even though every
+            # row is unmatched; index a guaranteed-nonempty dummy instead
+            if len(rt):
+                mp = np.where(has, match_pos, 0)
+                rt_m, ru_m, rrole_m, rtext_m = rt[mp], ru[mp], rrole[mp], rtext[mp]
+            else:
+                rt_m = np.zeros(len(eidx), np.int64)
+                ru_m = np.zeros(len(eidx), np.int64)
+                rrole_m = np.full(len(eidx), None, dtype=object)
+                rtext_m = np.full(len(eidx), None, dtype=object)
 
             def nullable(vals: np.ndarray) -> np.ndarray:
                 o = vals.astype(object)
                 o[~has] = None
                 return o
 
-            resp_ts = pd.Series(pd.to_datetime(ru[mp], unit="us"))
+            resp_ts = pd.Series(pd.to_datetime(ru_m, unit="us"))
             resp_ts[~has] = pd.NaT
             latency = np.where(
-                has, (ru[mp] // 1_000_000 - u_e // 1_000_000).astype(np.float64), np.nan
+                has, (ru_m // 1_000_000 - u_e // 1_000_000).astype(np.float64), np.nan
             )
             out = pd.DataFrame(
                 {
@@ -166,10 +176,10 @@ def _pairs_fn(max_lag_sec: int):
                     "user_turn_idx": t_e,
                     "user_ts": pd.to_datetime(u_e, unit="us"),
                     "user_text": text[eidx],
-                    "resp_turn_idx": nullable(rt[mp]),
-                    "resp_role": nullable(rrole[mp]),
+                    "resp_turn_idx": nullable(rt_m),
+                    "resp_role": nullable(rrole_m),
                     "resp_ts": resp_ts,
-                    "resp_text": nullable(rtext[mp]),
+                    "resp_text": nullable(rtext_m),
                     "latency_sec": latency,
                 }
             )

@@ -345,6 +345,30 @@ def test_lineage_single_job_per_epoch(spark, tmp_path):
     assert sink.lineage()[0]["rows"] == df.count()
 
 
+def test_streaming_pairs_user_only_conversation(spark, tmp_path):
+    """A conversation with users but zero responses must emit unmatched rows,
+    not crash (regression: empty response buffer faulted the matcher's
+    vectorized take at sf0.1)."""
+    rows = [
+        ("lonely", i, "user", f"question {i}", None, f"2026-01-01 00:00:{i:02d}")
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "src")
+    write_transcripts(df, path)
+    _flush_sentinel(spark, path)
+    sink = IdempotentSink(str(tmp_path / "pairs"), ("conv_id", "user_turn_idx"))
+    run_export(
+        spark, path, lambda s: streaming_pairs(s, "2 minutes", 300), sink,
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    got = sink.read_sink(spark).where(F.col("conv_id") == "lonely").collect()
+    assert len(got) == 3
+    assert all(r["resp_turn_idx"] is None and r["resp_role"] is None for r in got)
+
+
 def test_streaming_pairs_state_bounded_under_disorder(spark, tmp_path):
     """Watermark eviction keeps stateful-join state bounded: the peak state
     footprint reported by the state store stays below the cumulative input,
