@@ -185,6 +185,32 @@ def write_transcripts(
     writer.parquet(path)
 
 
+def write_transcripts_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed physical layout (SURVEY §7.0 ``bucket(N, conv_id)``): every
+    conversation lands in exactly one bucket, and the scan reports
+    ``HashPartitioning(conv_id)`` — so every ``groupBy``/``join``/window keyed
+    on ``conv_id`` over this table runs with ZERO shuffle (pinned in
+    tests/test_plans.py). At 10^12 turns this removes the single biggest
+    Exchange from the whole pipeline; on Iceberg the ``bucket(N, conv_id)``
+    partition transform plays the same role. Registered as an external table
+    at ``path`` (bucket metadata lives in the catalog; read back via
+    ``read_batch(spark, "table:<name>")``)."""
+    (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(buckets, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     """Read back a materialized transcripts table (drops the partition col)."""
     df = spark.read.parquet(path)

@@ -23,9 +23,10 @@ Rule families (mirroring the reference's emitter shapes):
   single-entry emitters): deterministic on the row alone, shuffle-free
   (:func:`extract_effects`);
 - codes 12-24 — lag-context over the conv_id window (the CEP half);
-- codes 25-33 — state-diff flavored (``account_credited/debited`` balance
-  deltas → token growth/shrink, running balances → cumulative-token
-  milestones, flag set/clear → text resumed, last-of-group closures);
+- codes 25-33 and 38-39 — state-diff flavored (``account_credited/debited``
+  balance deltas → token growth/shrink, running balances → cumulative-token
+  milestones and the running-vs-total half-point, flag set/clear → text
+  resumed, last-of-group closures, rapid tool chaining);
 - codes 34-37 — per-(conv_id, tool) window (``signer added/removed`` /
   sponsorship-chain shape — the J3 within-group prior-op lookback): first/
   last use of each tool kind, args changed/repeated vs the prior call of the
@@ -370,6 +371,24 @@ EFFECT_RULES: list[EffectRule] = [
         "role = 'tool' AND tool_prev_text IS NOT NULL AND tool_prev_text = coalesce(text, '')",
         (_SQL_TOOL,),
     ),
+    EffectRule(
+        38, "tool_burst", True,
+        lambda p: (F.col("role") == "tool")
+        & (F.col("_prev_role") == "tool")
+        & (_gap() <= p["burst_sec"]),
+        (_GAP,),
+        f"role = 'tool' AND prev_role = 'tool' AND gap_sec <= {BURST_SEC}",
+        (_SQL_GAP,),
+    ),
+    EffectRule(
+        39, "half_tokens_reached", True,
+        lambda p: (F.col("_tot_tok") > 0)
+        & (F.col("_cum_tok") * 2 >= F.col("_tot_tok"))
+        & ((F.col("_cum_tok") - F.col("_ntok")) * 2 < F.col("_tot_tok")),
+        (("cum_tokens", _s("_cum_tok")),),
+        "tot_tok > 0 AND cum_tok * 2 >= tot_tok AND (cum_tok - ntok) * 2 < tot_tok",
+        (("cum_tokens", "CAST(cum_tok AS VARCHAR)"),),
+    ),
 ]
 
 EFFECT_TYPES = {r.code: r.name for r in EFFECT_RULES}
@@ -476,7 +495,7 @@ def extract_effects_contextual(
     burst_sec: int = BURST_SEC,
     conv_seq: Column | None = None,
 ) -> DataFrame:
-    """The full emitter table (codes 0-37): row-local rules plus
+    """The full emitter table (codes 0-39): row-local rules plus
     per-conversation lag/state-diff rules plus per-(conv_id, tool) group
     rules, over successful turns ordered by turn_idx.
 
@@ -517,6 +536,7 @@ def extract_effects_contextual(
         F.max(F.when(F.col("role") == "assistant", F.col("turn_idx")))
         .over(w_all)
         .alias("_max_assistant_idx"),
+        F.sum("_ntok").over(w_all).alias("_tot_tok"),
     )
     # per-(conv_id, tool) group signals (34-37) — planned ABOVE the conv_id
     # window so hash(conv_id) already satisfies the clustered distribution

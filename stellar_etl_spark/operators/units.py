@@ -130,6 +130,35 @@ def extract_units(
         )
         .otherwise(F.create_map().cast("map<string,string>"))
     )
+    # payload-shape span arms (the reference's asset/value-type switches):
+    # structured JSON, pure-numeric, and URL-bearing spans each add a key.
+    # replace(), not regexp_replace: replace-all semantics match DuckDB's
+    # replace() without the 'g'-flag dialect difference.
+    shape_extra = (
+        F.when(
+            F.startswith(payload, F.lit("{")),
+            F.create_map(
+                F.lit("json_keys"),
+                ((F.length(payload) - F.length(F.replace(payload, F.lit('":'), F.lit("")))) / 2)
+                .cast("int")
+                .cast("string"),
+            ),
+        )
+        .when(
+            payload.rlike("^[0-9 ]+$"),
+            F.create_map(F.lit("digits_only"), F.lit("true")),
+        )
+        .when(
+            payload.contains("http"),
+            F.create_map(
+                F.lit("n_urls"),
+                ((F.length(payload) - F.length(F.replace(payload, F.lit("http"), F.lit("")))) / 4)
+                .cast("int")
+                .cast("string"),
+            ),
+        )
+        .otherwise(F.create_map().cast("map<string,string>"))
+    )
     details = F.when(
         F.col("is_tool"),
         F.map_concat(
@@ -149,7 +178,7 @@ def extract_units(
                 F.lit("has_unicode"), has_unicode,
                 F.lit("n_digits"), n_digits,
             ),
-            span_extra,
+            F.map_concat(span_extra, shape_extra),
         )
     )
 

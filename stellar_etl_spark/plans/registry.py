@@ -206,6 +206,7 @@ _DETAIL_KEYS = [
     "payload_bytes", "n_unique_tokens", "k_value", "error_chars",
     "span_tokens", "span_chars", "has_unicode",
     "is_question", "n_sentences", "has_directive",
+    "json_keys", "digits_only", "n_urls",
 ]
 
 
@@ -278,6 +279,15 @@ SELECT
   CASE WHEN NOT is_tool AND role = 'assistant'
        THEN CAST(len(string_split(payload, '.')) AS VARCHAR) END AS d_n_sentences,
   CASE WHEN NOT is_tool AND role = 'system' THEN CAST(contains(payload, ':') AS VARCHAR) END AS d_has_directive,
+  CASE WHEN NOT is_tool AND starts_with(payload, '{{')
+       THEN CAST(CAST((length(payload) - length(replace(payload, '":', ''))) / 2 AS INTEGER) AS VARCHAR)
+       END AS d_json_keys,
+  CASE WHEN NOT is_tool AND NOT starts_with(payload, '{{') AND regexp_matches(payload, '^[0-9 ]+$')
+       THEN 'true' END AS d_digits_only,
+  CASE WHEN NOT is_tool AND NOT starts_with(payload, '{{')
+       AND NOT regexp_matches(payload, '^[0-9 ]+$') AND contains(payload, 'http')
+       THEN CAST(CAST((length(payload) - length(replace(payload, 'http', ''))) / 4 AS INTEGER) AS VARCHAR)
+       END AS d_n_urls,
   ts
 FROM withp
 """
@@ -296,7 +306,7 @@ def q_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_effects_contextual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full emitter table (row-local + lag-context + state-diff + per-tool
-    group rules, codes 0-37)."""
+    group rules, codes 0-39)."""
     from stellar_etl_spark.operators.effects import extract_effects_contextual
 
     return extract_effects_contextual(
@@ -307,7 +317,7 @@ def q_effects_contextual(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_effects_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every emitter's details map, one typed VARCHAR column per detail key
     (the units_details pattern — map cells don't hash portably; typed
-    columns do). Hash-covers the details VALUES of all 38 rules."""
+    columns do). Hash-covers the details VALUES of all 40 rules."""
     from stellar_etl_spark.operators.effects import DETAIL_KEYS, extract_effects_contextual
 
     eff = extract_effects_contextual(transcripts_from_events(spark, sf_dir), conv_seq=_seq())
@@ -352,6 +362,7 @@ ctxd AS (
     lag(role, 2) OVER ({w}) AS prev2_role,
     max(turn_idx) FILTER (WHERE role = 'user') OVER (PARTITION BY conv_id) AS max_user_idx,
     max(turn_idx) FILTER (WHERE role = 'assistant') OVER (PARTITION BY conv_id) AS max_assistant_idx,
+    sum(ntok) OVER (PARTITION BY conv_id) AS tot_tok,
     lag(turn_idx) OVER ({tw}) AS tool_prev_idx,
     lead(turn_idx) OVER ({tw}) AS tool_next_idx,
     lag(coalesce(text, '')) OVER ({tw}) AS tool_prev_text,
@@ -1184,6 +1195,72 @@ WHERE {_SQL_SUCCESSFUL} AND json_valid(text)
 """
 
 
+# --- KMV distinct-count sketch (portable, bit-exact in both engines) --------
+_KMV_K = 16
+
+
+def q_conv_token_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct-token count per conversation via a K-minimum-
+    values sketch — the mergeable-sketch pattern for cardinality at scale.
+    Unlike HLL (``approx_count_distinct``), KMV over an md5-derived hash is
+    engine-portable, so the ORACLE CHECKS THE SKETCH ITSELF bit-for-bit:
+    estimate = (K-1) / h_K where h_K is the K-th smallest normalized hash of
+    the distinct tokens (exact count returned below K). The plan is the
+    at-scale shape: distinct on (conv_id, token) with map-side combine, then
+    one window pass — token text never rides the final aggregation."""
+    tv = transcripts_from_events(spark, sf_dir)
+    toks = (
+        tv.select("conv_id", F.explode(textfn.tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    h = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        / F.lit(float(2**32))
+    ).alias("h")
+    from pyspark.sql import Window as W
+
+    ranked = toks.select("conv_id", h).withColumn(
+        "rn", F.row_number().over(W.partitionBy("conv_id").orderBy("h"))
+    )
+    agg = ranked.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_tokens_exact"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("_h_k"),
+    )
+    est = F.when(
+        F.col("n_tokens_exact") >= _KMV_K, F.lit(float(_KMV_K - 1)) / F.col("_h_k")
+    ).otherwise(F.col("n_tokens_exact").cast("double"))
+    return agg.select("conv_id", "n_tokens_exact", est.alias("kmv_estimate"))
+
+
+SQL_CONV_TOKEN_KMV = f"""{TRANSCRIPTS_CTE},
+toks AS (
+  SELECT DISTINCT conv_id, tok FROM (
+    SELECT conv_id,
+      unnest(CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+    FROM transcripts
+  )
+),
+hashed AS (
+  SELECT conv_id,
+    CAST(('0x' || substring(md5(tok), 1, 8))::BIGINT AS BIGINT) / 4294967296.0 AS h
+  FROM toks
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY h) AS rn FROM hashed
+),
+agg AS (
+  SELECT conv_id, count(*) AS n_exact, max(CASE WHEN rn = {_KMV_K} THEN h END) AS h_k
+  FROM ranked GROUP BY conv_id
+)
+SELECT conv_id,
+  CAST(n_exact AS BIGINT) AS n_tokens_exact,
+  CASE WHEN n_exact >= {_KMV_K} THEN {float(_KMV_K - 1)} / h_k
+       ELSE CAST(n_exact AS DOUBLE) END AS kmv_estimate
+FROM agg
+"""
+
+
 # --- skew: two-phase salted aggregation — same oracle as `conversations` ----
 def q_conversations_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellar_etl_spark.operators.salt import extract_conversations_salted
@@ -1603,6 +1680,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "conversations_sliding": (q_conversations_sliding, SQL_CONVERSATIONS_SLIDING),
     "structured_payload": (q_structured_payload, SQL_STRUCTURED_PAYLOAD),
     "conversations_salted": (q_conversations_salted, SQL_CONVERSATIONS),
+    # portable KMV sketch: the oracle recomputes the estimator itself
+    "conv_token_kmv": (q_conv_token_kmv, SQL_CONV_TOKEN_KMV),
     # near-dup / approx ops: verified outputs (or portable-hash variants) are
     # engine-independent, so these carry full oracles too
     "doc_minhash_pairs": (q_doc_minhash_pairs, SQL_DOC_MINHASH_PAIRS),

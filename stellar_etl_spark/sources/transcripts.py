@@ -38,9 +38,16 @@ def _iceberg_available(spark: SparkSession) -> bool:
 
 
 def read_batch(spark: SparkSession, path: str) -> DataFrame:
-    """Bounded read of the transcripts table (S1/S3)."""
+    """Bounded read of the transcripts table (S1/S3).
+
+    ``table:<name>`` reads a catalog table — the route to the bucketed layout
+    (:func:`stellar_etl_spark.generator.write_transcripts_bucketed`), whose
+    scan carries HashPartitioning(conv_id) and makes every conv_id
+    groupBy/join/window shuffle-free."""
     if path.startswith("iceberg:"):
         df = spark.read.format("iceberg").load(path[len("iceberg:"):])
+    elif path.startswith("table:"):
+        df = spark.table(path[len("table:"):])
     else:
         df = spark.read.parquet(path)
     return df.select(*_COLS)

@@ -103,6 +103,9 @@ def test_units_details_driver_vocab_and_role_arms(spark):
         ("c", 2, "user", "what is it?", None, "2026-01-01 00:00:20"),
         ("c", 3, "assistant", "It works. Trust me.", None, "2026-01-01 00:00:30"),
         ("c", 4, "system", "rule: be helpful", None, "2026-01-01 00:00:40"),
+        ("c", 5, "user", '{"k": 1, "v": 2}', None, "2026-01-01 00:00:50"),
+        ("c", 6, "assistant", "12 34", None, "2026-01-01 00:01:00"),
+        ("c", 7, "system", "see http://a or http://b", None, "2026-01-01 00:01:10"),
     ]
     df = spark.createDataFrame(
         rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
@@ -115,6 +118,29 @@ def test_units_details_driver_vocab_and_role_arms(spark):
     assert d[4]["has_directive"] == "true"
     # arms stay exclusive: a user span has no assistant/system keys
     assert "n_sentences" not in d[2] and "has_directive" not in d[2]
+    # payload-shape arms compose with the role arms
+    assert d[5]["json_keys"] == "2" and d[5]["is_question"] == "false"
+    assert d[6]["digits_only"] == "true"
+    assert d[7]["n_urls"] == "2" and d[7]["has_directive"] == "true"
+
+
+def test_kmv_sketch_estimates_distinct_tokens(spark):
+    """KMV estimator quality: for conversations past the sketch threshold the
+    estimate tracks the exact distinct count (median relative error well
+    under the ~1/sqrt(K-1) ≈ 26%% theory bound for K=16)."""
+    from stellar_etl_spark.plans.registry import q_conv_token_kmv
+
+    rows = q_conv_token_kmv(spark, "/root/testdata/sf0.001").collect()
+    sketched = [r for r in rows if r["n_tokens_exact"] >= 16]
+    assert sketched, "fixture too small to exercise the sketch"
+    errs = sorted(
+        abs(r["kmv_estimate"] - r["n_tokens_exact"]) / r["n_tokens_exact"] for r in sketched
+    )
+    assert errs[len(errs) // 2] < 0.30  # median
+    # below the threshold the sketch is exact by construction
+    for r in rows:
+        if r["n_tokens_exact"] < 16:
+            assert r["kmv_estimate"] == float(r["n_tokens_exact"])
 
 
 def test_contextual_effects_rules(micro):

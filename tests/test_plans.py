@@ -100,6 +100,28 @@ def test_pairs_single_shuffle(tdf):
     assert plan.count("Exchange") == 1  # one conv_id partitioning, reused
 
 
+def test_bucketed_table_shuffle_free(spark, tmp_path):
+    """The bucketed layout (bucket(N, conv_id), SURVEY §7.0) co-locates each
+    conversation: the scan reports the conv_id hash partitioning, so BOTH the
+    conversation aggregation and the full windowed emitter table plan with
+    ZERO Exchange — the plan shape that removes the pipeline's biggest
+    shuffle at 10^12 turns."""
+    from stellar_etl_spark.generator import write_transcripts_bucketed
+    from stellar_etl_spark.operators.effects import extract_effects_contextual
+    from stellar_etl_spark.sources.transcripts import read_batch
+
+    df = transcripts_df(spark, n_convs=50)
+    write_transcripts_bucketed(df, "t_bucketed_test", str(tmp_path / "bt"), buckets=8)
+    try:
+        src = read_batch(spark, "table:t_bucketed_test")
+        assert "Exchange" not in _plan(extract_conversations(src))
+        assert "Exchange" not in _plan(extract_effects_contextual(src))
+        # and the data is intact
+        assert read_batch(spark, "table:t_bucketed_test").count() == df.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_test")
+
+
 def test_lsh_topk_join_variants(spark):
     """Broadcast for the sampled-query shape; shuffle join (AQE's pick) when
     the caller declares queries ~ corpus — both must plan as stated."""
