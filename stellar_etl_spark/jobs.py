@@ -87,6 +87,11 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--n-convs", type=int, default=1000)
     g.add_argument("--seed", type=int, default=42)
 
+    cp = sub.add_parser("compact")
+    cp.add_argument("--sink", required=True)
+    cp.add_argument("--keys", nargs="*", default=["conv_id", "turn_idx"])
+    cp.add_argument("--cores", type=int, default=None)
+
     tr = sub.add_parser("get_time_range")
     tr.add_argument("--source", required=True)
     tr.add_argument("--start", required=True)
@@ -107,6 +112,19 @@ def main(argv: list[str] | None = None) -> int:
         df = transcripts_df(spark, n_convs=args.n_convs, seed=args.seed)
         write_transcripts(df, args.out)
         print(json.dumps({"written": df.count(), "path": args.out}))
+        return 0
+
+    if args.cmd == "compact":
+        # maintenance: fold the accumulated per-window epochs into one
+        # (rewrite_data_files analog). Run only while the exporter is stopped.
+        from stellar_etl_spark.streaming.sink import IdempotentSink
+
+        sink = IdempotentSink(args.sink, tuple(args.keys))
+        epoch = sink.compact(spark)
+        print(json.dumps({
+            "compacted_into_epoch": epoch,
+            "rows": sink.lineage()[-1]["rows"],
+        }))
         return 0
 
     if args.cmd == "get_time_range":

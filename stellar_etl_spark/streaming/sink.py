@@ -48,9 +48,17 @@ class IdempotentSink:
         batch_transform=None,
         order_cols: tuple[str, ...] = (),
         output_partitions: int | None = None,
+        fmt: str = "parquet",
     ):
         self.path = path
         self.keys = list(keys)
+        # "parquet" (default) or "json" — the reference's K1 export writes
+        # line-delimited text files per batch; JSONL epochs get the same
+        # deterministic overwrite semantics. Parquet is the read-back /
+        # merge-on-read format; a JSONL sink is a final export artifact.
+        if fmt not in ("parquet", "json"):
+            raise ValueError(f"unsupported sink format {fmt!r}")
+        self.fmt = fmt
         # coalesce the batch to this many output files per epoch. A streaming
         # micro-batch arrives in one partition per source file; writing one
         # tiny zstd parquet per split dominates the export stage on narrow
@@ -79,7 +87,7 @@ class IdempotentSink:
         # per micro-batch)
         obs = Observation(f"lineage-epoch-{epoch_id}")
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-        df.write.mode("overwrite").parquet(out_dir)
+        df.write.mode("overwrite").format(self.fmt).save(out_dir)
         self._write_lineage(epoch_id, out_dir, int(obs.get["rows"]))
 
     def _write_lineage(self, epoch_id: int, out_dir: str, n: int) -> None:
@@ -109,8 +117,10 @@ class IdempotentSink:
         callers that tolerate empty sinks check :meth:`has_epochs` first."""
         if not self.has_epochs():
             raise FileNotFoundError(f"no committed epochs under {self.path}")
-        return spark.read.option("basePath", self.path).parquet(
-            os.path.join(self.path, "epoch=*")
+        return (
+            spark.read.option("basePath", self.path)
+            .format(self.fmt)
+            .load(os.path.join(self.path, "epoch=*"))
         )
 
     def read_sink(self, spark: SparkSession) -> DataFrame:
@@ -127,6 +137,47 @@ class IdempotentSink:
 
     def lineage(self) -> list[dict]:
         return _read_lineage(self.path)
+
+    # -- maintenance ----------------------------------------------------
+    def compact(self, spark: SparkSession) -> int:
+        """Rewrite the merge-on-read view into one epoch (the Iceberg
+        ``rewrite_data_files`` analog for the accumulated per-window epochs).
+
+        Crash-safe ordering: (1) write the merged rows as epoch ``max+1`` —
+        from that commit on, :meth:`read_sink` returns the same relation
+        whether or not step (2) ran, because the new epoch wins every key;
+        (2) delete the older epoch dirs (pure space reclaim). Run only while
+        the exporter is stopped — a live checkpoint would reuse epoch ids.
+        Returns the new epoch id."""
+        import shutil
+
+        epochs = sorted(
+            int(n.split("=", 1)[1])
+            for n in os.listdir(self.path)
+            if n.startswith("epoch=")
+        )
+        if not epochs:
+            raise FileNotFoundError(f"no committed epochs under {self.path}")
+        new_epoch = epochs[-1] + 1
+        merged = self.read_sink(spark)
+        if self.output_partitions:
+            merged = merged.coalesce(self.output_partitions)
+        out_dir = os.path.join(self.path, f"epoch={new_epoch}")
+        # the merged plan lazily scans epoch=* — write OUTSIDE that glob
+        # first, then move into place, so the source snapshot can't include
+        # the half-written target
+        tmp_dir = os.path.join(self.path, "_compact_tmp")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        merged.write.mode("overwrite").format(self.fmt).save(tmp_dir)
+        os.rename(tmp_dir, out_dir)
+        n = spark.read.format(self.fmt).load(out_dir).count()
+        self._write_lineage(new_epoch, out_dir, int(n))
+        for e in epochs:
+            shutil.rmtree(os.path.join(self.path, f"epoch={e}"), ignore_errors=True)
+            old = os.path.join(self.path, "_lineage", f"epoch-{e}.json")
+            if os.path.exists(old):
+                os.remove(old)
+        return new_epoch
 
 
 class IcebergMergeSink:

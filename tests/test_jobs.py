@@ -39,6 +39,25 @@ def test_generate_export_turns_and_range(spark, tmp_path, capsys):
                    "--end", "2027-01-01"])
 
 
+def test_compact_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "src")
+    jobs.main(["generate", "--out", src, "--n-convs", "20"])
+    jobs.main([
+        "export_turns", "--source", src,
+        "--sink", str(tmp_path / "turns"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--max-files-per-trigger", "2",
+    ])
+    capsys.readouterr()
+    jobs.main(["compact", "--sink", str(tmp_path / "turns")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] > 0
+    import os
+
+    dirs = [n for n in os.listdir(str(tmp_path / "turns")) if n.startswith("epoch=")]
+    assert dirs == [f"epoch={out['compacted_into_epoch']}"]
+
+
 def test_export_changes_compacts(spark, tmp_path, capsys):
     src = str(tmp_path / "src")
     jobs.main(["generate", "--out", src, "--n-convs", "15"])

@@ -345,6 +345,50 @@ def test_lineage_single_job_per_epoch(spark, tmp_path):
     assert sink.lineage()[0]["rows"] == df.count()
 
 
+def test_sink_compaction_preserves_merge_view(spark, source, tmp_path):
+    """compact() folds N epochs into one; the merge-on-read relation is
+    byte-identical before and after, lineage reflects the rewrite, and the
+    old epoch dirs are gone (rewrite_data_files analog)."""
+    path, df = source
+    sink = IdempotentSink(str(tmp_path / "turns"), ("conv_id", "turn_idx"))
+    run_export(spark, path, extract_turns, sink, str(tmp_path / "ckpt"),
+               max_files_per_trigger=2)
+    assert len(sink.lineage()) >= 2
+    before = sorted(map(tuple, sink.read_sink(spark).collect()))
+    epoch = sink.compact(spark)
+    after = sorted(map(tuple, sink.read_sink(spark).collect()))
+    assert after == before
+    dirs = [n for n in os.listdir(str(tmp_path / "turns")) if n.startswith("epoch=")]
+    assert dirs == [f"epoch={epoch}"]
+    lin = sink.lineage()
+    assert len(lin) == 1 and lin[0]["rows"] == len(before)
+
+
+def test_jsonl_sink_exports_lines(spark, source, tmp_path):
+    """K1: the JSONL sink writes line-delimited files per epoch with the same
+    deterministic overwrite semantics; every line parses and the count
+    matches the batch extractor."""
+    import json as _json
+
+    path, df = source
+    sink = IdempotentSink(str(tmp_path / "turns_jsonl"), ("conv_id", "turn_idx"), fmt="json")
+    run_export(spark, path, extract_turns, sink, str(tmp_path / "ckpt_jsonl"),
+               max_files_per_trigger=2)
+    n_lines = 0
+    root = str(tmp_path / "turns_jsonl")
+    for d in os.listdir(root):
+        if not d.startswith("epoch="):
+            continue
+        for f in os.listdir(os.path.join(root, d)):
+            if f.endswith(".json"):
+                with open(os.path.join(root, d, f)) as fh:
+                    for line in fh:
+                        rec = _json.loads(line)
+                        assert "conv_id" in rec and "turn_idx" in rec
+                        n_lines += 1
+    assert n_lines == extract_turns(df).count()
+
+
 def test_streaming_pairs_user_only_conversation(spark, tmp_path):
     """A conversation with users but zero responses must emit unmatched rows,
     not crash (regression: empty response buffer faulted the matcher's
