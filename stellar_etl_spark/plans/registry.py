@@ -561,30 +561,31 @@ WHERE role = 'user'
 """
 
 
-# --- J2/T6/S11 stateful streaming pairs (driver-facing) ----------------------
-def q_streaming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ACTUAL stateful streaming path, driver-hash-checked — not the
-    batch twin: transcripts → file stream → watermark →
-    ``applyInPandasWithState`` matcher → checkpoint → exactly-once
-    IdempotentSink under Trigger.AvailableNow, then the merged sink read back.
+# --- stateful streaming harness (driver-facing) ------------------------------
+def _run_streaming_query(
+    spark: SparkSession,
+    tv: DataFrame,
+    extractor,
+    keys: tuple[str, ...],
+    drop_flush_on: str = "conv_id",
+) -> DataFrame:
+    """Run a REAL streaming query over the transcripts view and return the
+    merged sink contents — the oracle harness for the stateful operators.
 
     Layout: one coalesced data file + one far-future flush-sentinel file
     (written strictly later, so the file-stream processes it last), with
     ``maxFilesPerTrigger=1`` — data batch, sentinel batch (advances the
-    watermark past every ``user_ts + lag``), then Spark's no-data batch fires
-    the event-time timeouts and the state drains. Oracle: the bounded
-    range-join SQL (same CEP semantics the stateful operator implements).
-    """
+    watermark past every pending window/state), then Spark's no-data batch
+    fires the event-time timeouts and the state drains. The result is
+    materialized before the temp dirs are removed."""
     import shutil
     import tempfile
 
     from stellar_etl_spark.generator import write_transcripts
     from stellar_etl_spark.streaming.pipeline import run_export
     from stellar_etl_spark.streaming.sink import IdempotentSink
-    from stellar_etl_spark.streaming.state import streaming_pairs
 
-    tv = transcripts_from_events(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="streaming_pairs_")
+    work = tempfile.mkdtemp(prefix="streaming_q_")
     try:
         src = f"{work}/src"
         write_transcripts(tv.coalesce(1), src, partition_by_day=False)
@@ -595,21 +596,114 @@ def q_streaming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
         sentinel.write.mode("append").parquet(src)
 
-        sink = IdempotentSink(f"{work}/pairs", ("conv_id", "user_turn_idx"))
-        run_export(
-            spark,
-            src,
-            lambda s: streaming_pairs(s, "2 minutes", 300),
-            sink,
-            f"{work}/ckpt",
-            max_files_per_trigger=1,
-        )
-        out = sink.read_sink(spark).where(F.col("conv_id") != "flush")
-        # materialize before the temp files go away
+        sink = IdempotentSink(f"{work}/out", keys)
+        run_export(spark, src, extractor, sink, f"{work}/ckpt", max_files_per_trigger=1)
+        out = sink.read_sink(spark).where(F.col(drop_flush_on) != "flush")
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --- J2/T6/S11 stateful streaming pairs (driver-facing) ----------------------
+def q_streaming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL stateful streaming path, driver-hash-checked — not the
+    batch twin: file stream → watermark → ``applyInPandasWithState`` matcher
+    → checkpoint → exactly-once IdempotentSink under Trigger.AvailableNow,
+    then the merged sink read back. Oracle: the bounded range-join SQL (the
+    same CEP semantics the stateful operator implements)."""
+    from stellar_etl_spark.streaming.state import streaming_pairs
+
+    return _run_streaming_query(
+        spark,
+        transcripts_from_events(spark, sf_dir),
+        lambda s: streaming_pairs(s, "2 minutes", 300),
+        ("conv_id", "user_turn_idx"),
+    )
+
+
+# --- J2 native stream-stream join (driver-facing) -----------------------------
+def q_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE watermark-bounded stream-stream inner join (not the
+    custom stateful matcher): every (user, response) pair within the 300 s
+    horizon, run through checkpoint + sink. Oracle: the plain inner range
+    join."""
+    from stellar_etl_spark.streaming.pipeline import stream_stream_join_pairs
+
+    return _run_streaming_query(
+        spark,
+        transcripts_from_events(spark, sf_dir),
+        lambda s: stream_stream_join_pairs(s, "2 minutes", 300),
+        ("conv_id", "user_turn_idx", "resp_turn_idx"),
+    )
+
+
+SQL_STREAM_JOIN_PAIRS = f"""{TRANSCRIPTS_CTE}
+SELECT
+  u.conv_id,
+  u.turn_idx AS user_turn_idx,
+  u.ts AS user_ts,
+  u.text AS user_text,
+  r.turn_idx AS resp_turn_idx,
+  r.role AS resp_role,
+  r.ts AS resp_ts,
+  r.text AS resp_text,
+  CAST(floor(epoch(r.ts)) - floor(epoch(u.ts)) AS DOUBLE) AS latency_sec
+FROM transcripts u
+JOIN transcripts r
+  ON u.conv_id = r.conv_id
+ AND u.role = 'user'
+ AND r.role IN ('assistant', 'tool')
+ AND r.turn_idx > u.turn_idx
+ AND r.ts >= u.ts
+ AND r.ts <= u.ts + INTERVAL 300 SECONDS
+"""
+
+
+# --- streaming session windows (driver-facing) --------------------------------
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` sessionization through the streaming
+    harness (watermark-bounded merging session state). Oracle: gap-and-island
+    SQL with session_window's exact boundary semantics — an event at EXACTLY
+    ``prev_ts + gap`` starts a NEW session (the window is half-open
+    ``[start, last_ts + gap)``), so the island flag uses ``>= gap`` on the
+    full-precision event-time difference (the batch operator's ``> gap`` on
+    floored seconds is a different, also-oracled convention)."""
+    from stellar_etl_spark.operators.sessions import extract_sessions_streaming
+
+    return _run_streaming_query(
+        spark,
+        transcripts_from_events(spark, sf_dir),
+        lambda s: extract_sessions_streaming(s, "30 minutes", "2 minutes"),
+        ("conv_id", "session_start"),
+    )
+
+
+SQL_STREAMING_SESSIONS = f"""{TRANSCRIPTS_CTE},
+flagged AS (
+  SELECT *,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+numbered AS (
+  SELECT *,
+    sum(new_session) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT
+  conv_id,
+  min(ts) AS session_start,
+  max(ts) AS session_end,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(count(*) FILTER (WHERE role = 'user') AS BIGINT) AS n_user,
+  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS DOUBLE) AS duration_sec
+FROM numbered
+GROUP BY conv_id, session_seq
+"""
 
 
 SQL_STREAMING_PAIRS = f"""{TRANSCRIPTS_CTE},
@@ -1648,9 +1742,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "effects_contextual": (q_effects_contextual, SQL_EFFECTS_CONTEXTUAL),
     "effects_details": (q_effects_details, SQL_EFFECTS_DETAILS),
     "pairs": (q_pairs, SQL_PAIRS),
-    # the stateful streaming path itself (applyInPandasWithState + checkpoint
-    # + exactly-once sink under AvailableNow), not its batch twin
+    # the stateful streaming paths themselves (checkpoint + exactly-once sink
+    # under AvailableNow), not their batch twins: custom applyInPandasWithState
+    # matcher, native stream-stream join, native session windows
     "streaming_pairs": (q_streaming_pairs, SQL_STREAMING_PAIRS),
+    "stream_join_pairs": (q_stream_join_pairs, SQL_STREAM_JOIN_PAIRS),
+    "streaming_sessions": (q_streaming_sessions, SQL_STREAMING_SESSIONS),
     "sessions": (q_sessions, SQL_SESSIONS),
     "first_turns": (q_first_turns, SQL_FIRST_TURNS),
     "last_state": (q_last_state, SQL_LAST_STATE),
