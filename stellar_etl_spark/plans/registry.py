@@ -1289,6 +1289,50 @@ WHERE {_SQL_SUCCESSFUL} AND json_valid(text)
 """
 
 
+# --- exact latency percentiles (portable, bit-exact) -------------------------
+def q_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Response-latency p50/p90/p95 per responder role over the as-of pairs.
+    Uses EXACT interpolated percentiles (Spark ``percentile``, DuckDB
+    ``quantile_cont`` — same (n-1)*q linear-interpolation definition, so the
+    doubles match bit-for-bit; the approximate variants GK/t-digest are
+    engine-specific and could only be rows-checked). At scale swap in
+    ``percentile_approx`` per partition; this query pins the exact
+    semantics."""
+    pairs = extract_pairs(transcripts_from_events(spark, sf_dir))
+    return (
+        pairs.where(F.col("latency_sec").isNotNull())
+        .groupBy("resp_role")
+        .agg(
+            F.expr("percentile(latency_sec, 0.5)").alias("p50"),
+            F.expr("percentile(latency_sec, 0.9)").alias("p90"),
+            F.expr("percentile(latency_sec, 0.95)").alias("p95"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+
+
+SQL_LATENCY_QUANTILES = f"""{TRANSCRIPTS_CTE},
+win AS (
+  SELECT conv_id, turn_idx, role, ts,
+    first_value(CASE WHEN role IN ('assistant', 'tool') THEN ts END IGNORE NULLS)
+      OVER w AS resp_ts,
+    first_value(CASE WHEN role IN ('assistant', 'tool') THEN role END IGNORE NULLS)
+      OVER w AS resp_role
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT resp_role,
+  quantile_cont(floor(epoch(resp_ts)) - floor(epoch(ts)), 0.5) AS p50,
+  quantile_cont(floor(epoch(resp_ts)) - floor(epoch(ts)), 0.9) AS p90,
+  quantile_cont(floor(epoch(resp_ts)) - floor(epoch(ts)), 0.95) AS p95,
+  CAST(count(*) AS BIGINT) AS n_pairs
+FROM win
+WHERE role = 'user' AND resp_ts IS NOT NULL
+GROUP BY resp_role
+"""
+
+
 # --- KMV distinct-count sketch (portable, bit-exact in both engines) --------
 _KMV_K = 16
 
@@ -1779,6 +1823,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "conversations_salted": (q_conversations_salted, SQL_CONVERSATIONS),
     # portable KMV sketch: the oracle recomputes the estimator itself
     "conv_token_kmv": (q_conv_token_kmv, SQL_CONV_TOKEN_KMV),
+    # exact interpolated percentiles — bit-identical across engines
+    "latency_quantiles": (q_latency_quantiles, SQL_LATENCY_QUANTILES),
     # near-dup / approx ops: verified outputs (or portable-hash variants) are
     # engine-independent, so these carry full oracles too
     "doc_minhash_pairs": (q_doc_minhash_pairs, SQL_DOC_MINHASH_PAIRS),
