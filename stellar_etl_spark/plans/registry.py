@@ -201,22 +201,35 @@ FROM expl
 
 
 # --- T4 per-type details (operation.go:584-1184 switch breadth) --------------
-_DETAIL_KEYS = [
-    "tool", "args_sha256", "failed", "n_terms", "n_lines", "n_digits",
-    "payload_bytes", "n_unique_tokens", "k_value", "error_chars",
-    "span_tokens", "span_chars", "has_unicode",
-    "is_question", "n_sentences", "has_directive",
-    "json_keys", "digits_only", "n_urls",
-]
+def _sql_unit_detail_cols() -> str:
+    """One ``d_<key>`` column per detail key, generated from the SAME arm
+    table the Spark details map is built from (operators/units.py UNIT_ARMS)
+    — a key produced by several arms becomes a first-match CASE chain."""
+    from stellar_etl_spark.operators.units import DETAIL_KEYS, UNIT_ARMS
+
+    cols = []
+    for key in DETAIL_KEYS:
+        whens = []
+        for a in UNIT_ARMS:
+            if a.key != key:
+                continue
+            base = "is_tool" if a.unit == "tool" else "NOT is_tool"
+            cond = base if a.sql_cond is None else f"{base} AND ({a.sql_cond})"
+            whens.append(f"WHEN {cond} THEN {a.sql_val}")
+        cols.append(f"  CASE {' '.join(whens)} END AS d_{key}")
+    return ",\n".join(cols)
 
 
 def q_units_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide projection of the per-unit-type details switch: one nullable
     column per detail key (map cells don't hash portably; typed columns do).
-    Exercises every arm — 7 tool kinds + 3 role-specific span arms + the
-    base span/tool maps — against the oracle (the driver tables fire the
-    purchase/error tool arms and all 3 role span arms; the generator
-    vocabulary fires the other 5 tool kinds in pytest)."""
+    Exercises every UNIT_ARMS arm — 7 tool-kind + error-kind arms, 3
+    role-specific span arms, 3 payload-shape arms, flag arms, and the base
+    span/tool maps — against the oracle generated from the SAME table (the
+    driver tables fire the purchase/error/json/role arms at sf0.01; the
+    generator vocabulary fires the other 5 tool kinds in pytest)."""
+    from stellar_etl_spark.operators.units import DETAIL_KEYS
+
     units = extract_units(transcripts_from_events(spark, sf_dir), conv_seq=_seq())
     return units.select(
         "unit_id",
@@ -224,7 +237,7 @@ def q_units_details(spark: SparkSession, sf_dir: str) -> DataFrame:
         "turn_idx",
         "unit_idx",
         "unit_type",
-        *[F.col("details")[k].alias(f"d_{k}") for k in _DETAIL_KEYS],
+        *[F.col("details")[k].alias(f"d_{k}") for k in DETAIL_KEYS],
         "ts",
     )
 
@@ -255,39 +268,7 @@ SELECT
   turn_idx,
   unit_idx,
   CASE WHEN is_tool THEN 'tool_call' ELSE 'span' END AS unit_type,
-  CASE WHEN is_tool THEN coalesce(tool, '') END AS d_tool,
-  CASE WHEN is_tool THEN sha256(payload) END AS d_args_sha256,
-  CASE WHEN is_tool THEN CAST(starts_with(payload, 'error:') AS VARCHAR) END AS d_failed,
-  CASE WHEN is_tool AND tool = 'search' THEN CAST(CASE WHEN trim(payload) = '' THEN 0
-       ELSE len(regexp_split_to_array(trim(payload), '\\s+')) END AS VARCHAR) END AS d_n_terms,
-  CASE WHEN is_tool AND tool = 'code'
-       THEN CAST(len(string_split(payload, chr(10))) AS VARCHAR) END AS d_n_lines,
-  CASE WHEN (is_tool AND tool = 'calc') OR NOT is_tool
-       THEN CAST(length(regexp_replace(payload, '[^0-9]', '', 'g')) AS VARCHAR) END AS d_n_digits,
-  CASE WHEN is_tool AND tool = 'fetch' THEN CAST(strlen(payload) AS VARCHAR) END AS d_payload_bytes,
-  CASE WHEN is_tool AND tool = 'browse' THEN CAST(CASE WHEN trim(payload) = '' THEN 0
-       ELSE len(list_distinct(regexp_split_to_array(trim(payload), '\\s+'))) END AS VARCHAR)
-       END AS d_n_unique_tokens,
-  CASE WHEN is_tool AND tool = 'purchase' THEN regexp_extract(payload, '[0-9]+', 0) END AS d_k_value,
-  CASE WHEN is_tool AND tool = 'error'
-       THEN CAST(length(regexp_replace(payload, '^error: ', '')) AS VARCHAR) END AS d_error_chars,
-  CASE WHEN NOT is_tool THEN CAST(CASE WHEN trim(payload) = '' THEN 0
-       ELSE len(regexp_split_to_array(trim(payload), '\\s+')) END AS VARCHAR) END AS d_span_tokens,
-  CASE WHEN NOT is_tool THEN CAST(length(payload) AS VARCHAR) END AS d_span_chars,
-  CASE WHEN NOT is_tool THEN CAST(strlen(payload) <> length(payload) AS VARCHAR) END AS d_has_unicode,
-  CASE WHEN NOT is_tool AND role = 'user' THEN CAST(contains(payload, '?') AS VARCHAR) END AS d_is_question,
-  CASE WHEN NOT is_tool AND role = 'assistant'
-       THEN CAST(len(string_split(payload, '.')) AS VARCHAR) END AS d_n_sentences,
-  CASE WHEN NOT is_tool AND role = 'system' THEN CAST(contains(payload, ':') AS VARCHAR) END AS d_has_directive,
-  CASE WHEN NOT is_tool AND starts_with(payload, '{{')
-       THEN CAST(CAST((length(payload) - length(replace(payload, '":', ''))) / 2 AS INTEGER) AS VARCHAR)
-       END AS d_json_keys,
-  CASE WHEN NOT is_tool AND NOT starts_with(payload, '{{') AND regexp_matches(payload, '^[0-9 ]+$')
-       THEN 'true' END AS d_digits_only,
-  CASE WHEN NOT is_tool AND NOT starts_with(payload, '{{')
-       AND NOT regexp_matches(payload, '^[0-9 ]+$') AND contains(payload, 'http')
-       THEN CAST(CAST((length(payload) - length(replace(payload, 'http', ''))) / 4 AS INTEGER) AS VARCHAR)
-       END AS d_n_urls,
+{_sql_unit_detail_cols()},
   ts
 FROM withp
 """

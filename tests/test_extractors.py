@@ -122,6 +122,9 @@ def test_units_details_driver_vocab_and_role_arms(spark):
     assert d[5]["json_keys"] == "2" and d[5]["is_question"] == "false"
     assert d[6]["digits_only"] == "true"
     assert d[7]["n_urls"] == "2" and d[7]["has_directive"] == "true"
+    # failed-call kind + leading-capital flag arms
+    assert d[1]["error_kind"] == "boom"
+    assert d[3]["starts_upper"] == "true" and "starts_upper" not in d[6]
 
 
 def test_kmv_sketch_estimates_distinct_tokens(spark):
