@@ -89,6 +89,10 @@ print("RESULT " + json.dumps({
     "stream_turns_per_sec": round(n_turns / stream_sec, 1),
 }))
 spark.stop()
+# each level writes a full 3-extractor sink (~3-6 GB at 8.5M turns) — a
+# session of repeated runs filled /tmp; clean up eagerly
+import shutil as _sh
+_sh.rmtree(tmp, ignore_errors=True)
 '''
 
 
