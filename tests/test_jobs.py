@@ -39,6 +39,49 @@ def test_generate_export_turns_and_range(spark, tmp_path, capsys):
                    "--end", "2027-01-01"])
 
 
+def test_spark_submit_pyfiles(tmp_path):
+    """North-rule deployment path: the engine runs via ``spark-submit
+    --py-files <package.zip>`` with no install step — generate then export in
+    two separate submitted applications, then verify the sink."""
+    import shutil
+    import subprocess
+    import sys
+
+    repo = "/root/repo"
+    pkg = str(tmp_path / "stellar_etl_spark")
+    shutil.make_archive(pkg, "zip", repo, "stellar_etl_spark")
+    launcher = tmp_path / "launch.py"
+    launcher.write_text(
+        "import sys\nfrom stellar_etl_spark.jobs import main\n"
+        "sys.exit(main(sys.argv[1:]))\n"
+    )
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pytest
+
+        pytest.skip("spark-submit not on PATH")
+
+    def submit(*args):
+        out = subprocess.run(
+            [spark_submit, "--master", "local[4]", "--py-files", pkg + ".zip",
+             str(launcher), *args],
+            capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    gen = submit("generate", "--out", str(tmp_path / "src"), "--n-convs", "15")
+    assert gen["written"] > 0
+    exp = submit(
+        "export_turns", "--source", str(tmp_path / "src"),
+        "--sink", str(tmp_path / "turns"), "--checkpoint", str(tmp_path / "ck"),
+        "--cores", "4",
+    )
+    assert exp["epochs"] >= 1
+    files = list((tmp_path / "turns").glob("epoch=*/*.parquet"))
+    assert files, "no committed output files"
+
+
 def test_compact_cli(spark, tmp_path, capsys):
     src = str(tmp_path / "src")
     jobs.main(["generate", "--out", src, "--n-convs", "20"])
