@@ -125,9 +125,27 @@ class IdempotentSink:
 
     def read_sink(self, spark: SparkSession) -> DataFrame:
         """Merge-on-read view: one row per business key (highest epoch wins) —
-        the MERGE INTO equivalence under any replay history."""
+        the MERGE INTO equivalence under any replay history. Duplicate keys
+        WITHIN an epoch (at-least-once delivery) are resolved by the data
+        columns themselves (name order, desc) after any explicit order_cols —
+        the pick must be a pure function of the rows so every replay reads
+        the same survivor (found by the hypothesis replay property test)."""
+        from pyspark.sql.types import MapType
+
         df = self.read_raw(spark)
-        order = [F.col(c).desc() for c in self.order_cols] + [F.col("epoch").desc()]
+        tiebreak = sorted(
+            f.name
+            for f in df.schema.fields
+            if f.name not in self.keys
+            and f.name not in self.order_cols
+            and f.name != "epoch"
+            and not isinstance(f.dataType, MapType)
+        )
+        order = (
+            [F.col(c).desc() for c in self.order_cols]
+            + [F.col("epoch").desc()]
+            + [F.col(c).desc_nulls_last() for c in tiebreak]
+        )
         w = Window.partitionBy(*self.keys).orderBy(*order)
         return (
             df.withColumn("_rn", F.row_number().over(w))
