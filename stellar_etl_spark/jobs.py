@@ -54,6 +54,13 @@ def _common(p: argparse.ArgumentParser) -> None:
         "0 keeps the input partitioning — one file per source split)",
     )
     p.add_argument(
+        "--format",
+        choices=["parquet", "json"],
+        default="parquet",
+        help="epoch file format: parquet (read-back/merge product) or json "
+        "(the reference's line-delimited final export artifact)",
+    )
+    p.add_argument(
         "--no-text-b64",
         action="store_true",
         help="drop the raw-envelope text_b64 column from the turns export "
@@ -254,7 +261,7 @@ def main(argv: list[str] | None = None) -> int:
                 f"--lenient is unsupported for {args.cmd} (stateful/windowed); "
                 "pre-clean the input with a lenient export_turns first"
             )
-        sink = IdempotentSink(args.sink, keys, output_partitions=out_parts)
+        sink = IdempotentSink(args.sink, keys, output_partitions=out_parts, fmt=args.format)
         rejected = IdempotentSink(args.sink + "_rejected", ("conv_id", "turn_idx"))
         run_validated_export(
             spark, args.source, plain(raw_extractors[args.cmd]), sink, rejected,
@@ -274,9 +281,10 @@ def main(argv: list[str] | None = None) -> int:
             batch_transform=lambda df: compact_last_state(df, ["conv_id"]),
             order_cols=("ts", "turn_idx"),
             output_partitions=out_parts,
+            fmt=args.format,
         )
     else:
-        sink = IdempotentSink(args.sink, keys, output_partitions=out_parts)
+        sink = IdempotentSink(args.sink, keys, output_partitions=out_parts, fmt=args.format)
     metrics = run_export(
         spark,
         args.source,
