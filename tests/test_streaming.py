@@ -345,6 +345,74 @@ def test_lineage_single_job_per_epoch(spark, tmp_path):
     assert sink.lineage()[0]["rows"] == df.count()
 
 
+def test_late_row_watermark_semantics(spark, tmp_path):
+    """SURVEY §7.3 pinned deviation: the reference's ledger close is
+    definitional, ours is watermark-inferred. Spark's two-watermark design
+    (SPARK-40025) gives EXACTLY one micro-batch of grace: the late-event
+    filter uses the PREVIOUS batch's watermark, the eviction the current
+    one. So a turn arriving one batch after the watermark passed its window
+    still merges before the window emits; a turn arriving two-or-more
+    batches later is dropped outright — the emitted window is final."""
+    from stellar_etl_spark.operators.conversations import extract_conversations_windowed
+
+    import glob
+    import time as _time
+
+    src = str(tmp_path / "src")
+
+    def write_file(rows, mtime_offset_sec):
+        (
+            spark.createDataFrame(
+                rows,
+                "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+            )
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn("ts_date", F.to_date("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("ts_date")
+            .parquet(src)
+        )
+        # pin distinct modification times: the file source orders batches by
+        # mtime, and the test's semantics depend on the batch order
+        now = _time.time()
+        for f in glob.glob(src + "/*/*.parquet"):
+            if os.path.getmtime(f) > now - 5:
+                os.utime(f, (now + mtime_offset_sec, now + mtime_offset_sec))
+
+    write_file([
+        ("conv_x", 0, "user", "hello", None, "2026-01-01 10:00:00"),
+        ("conv_x", 1, "assistant", "hi", None, "2026-01-01 10:00:10"),
+        ("advancer", 0, "user", "far future", None, "2026-01-01 12:00:00"),
+    ], -180)
+    # one batch after the watermark (11:59) passed the [10:00, 10:05)
+    # window: still inside the grace batch -> merges before emission
+    write_file([
+        ("conv_x", 2, "user", "grace turn", None, "2026-01-01 10:00:20"),
+        ("conv_y", 0, "user", "on time", None, "2026-01-01 12:00:30"),
+    ], -120)
+    # two batches after: dropped outright, no fragment row
+    write_file([
+        ("conv_x", 3, "user", "far too late", None, "2026-01-01 10:00:30"),
+    ], -60)
+    write_file([
+        ("flush", 0, "system", "", None, "2026-06-01 00:00:00"),
+    ], 0)
+    sink = IdempotentSink(str(tmp_path / "wins"), ("conv_id", "window_start"))
+    run_export(
+        spark, src,
+        lambda s: extract_conversations_windowed(s, "5 minutes", "1 minute"),
+        sink, str(tmp_path / "ck"), max_files_per_trigger=1,
+    )
+    frags = sink.read_raw(spark).where(F.col("conv_id") == "conv_x").collect()
+    # exactly ONE emitted row for conv_x's window: the 2 on-time turns plus
+    # the grace-batch turn; the 2-batches-late turn left no trace
+    assert len(frags) == 1 and frags[0]["n_turns"] == 3
+    merged = {r["conv_id"]: r for r in sink.read_sink(spark).collect()}
+    assert merged["conv_x"]["n_turns"] == 3
+    assert "conv_y" in merged and "advancer" in merged
+
+
 def test_sink_compaction_preserves_merge_view(spark, source, tmp_path):
     """compact() folds N epochs into one; the merge-on-read relation is
     byte-identical before and after, lineage reflects the rewrite, and the
