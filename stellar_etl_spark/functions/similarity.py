@@ -216,12 +216,13 @@ def lsh_topk(
 
     ``broadcast_queries`` picks the join strategy for the probe-expanded
     query side: ``True`` forces a broadcast (right for top-k-for-few-queries
-    — the sampled-query shape), ``False`` leaves it to AQE/sort-merge (right
-    when queries ≈ corpus, where tables*probes*|queries| rows would blow the
-    broadcast). Default ``None`` auto-picks: broadcast only when the
-    pre-explosion query plan is itself broadcast-sized is unknowable cheaply,
-    so it broadcasts iff ``tables * n_probe_keys`` stays under ~4096 keys per
-    query — the measured safe envelope on this engine.
+    — the sampled-query shape), ``False`` leaves it to the planner/AQE
+    (REQUIRED when queries ≈ corpus: tables*probes*|queries| rows would blow
+    the broadcast). Default ``None`` guards only the REPLICATION factor —
+    it broadcasts iff ``tables * n_probe_keys <= 4096`` — because the
+    query-side row count is the caller's knowledge, not cheaply knowable
+    here; callers joining a corpus-sized query set MUST pass ``False``
+    (pinned in tests/test_plans.py::test_lsh_topk_join_variants).
 
     Recall is a function of true similarity: high-sim neighbors collide
     almost surely, near-orthogonal ones almost never — measured numbers in

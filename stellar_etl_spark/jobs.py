@@ -96,7 +96,13 @@ def main(argv: list[str] | None = None) -> int:
 
     cp = sub.add_parser("compact")
     cp.add_argument("--sink", required=True)
-    cp.add_argument("--keys", nargs="*", default=["conv_id", "turn_idx"])
+    cp.add_argument(
+        "--keys",
+        nargs="*",
+        default=None,
+        help="override the business key (default: the sink's persisted "
+        "_sink_meta.json — compacting with the wrong keys collapses rows)",
+    )
     cp.add_argument("--cores", type=int, default=None)
 
     tr = sub.add_parser("get_time_range")
@@ -126,7 +132,8 @@ def main(argv: list[str] | None = None) -> int:
         # (rewrite_data_files analog). Run only while the exporter is stopped.
         from stellar_etl_spark.streaming.sink import IdempotentSink
 
-        sink = IdempotentSink(args.sink, tuple(args.keys))
+        overrides = {"keys": tuple(args.keys)} if args.keys else {}
+        sink = IdempotentSink.from_meta(args.sink, **overrides)
         epoch = sink.compact(spark)
         print(json.dumps({
             "compacted_into_epoch": epoch,
@@ -244,6 +251,7 @@ def main(argv: list[str] | None = None) -> int:
             timeout_sec=timeout,
             max_files_per_trigger=args.max_files_per_trigger,
             output_partitions=out_parts,
+            fmt=args.format,
         )
         print(json.dumps({
             n: (s.read_sink(spark).count() if s.has_epochs() else 0)

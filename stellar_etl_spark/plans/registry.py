@@ -312,7 +312,11 @@ def _sql_effects(contextual: bool, with_details: bool = False) -> str:
     """Generate the DuckDB oracle from the SAME rule table the Spark emitters
     are built from (operators/effects.py EFFECT_RULES) — condition, dense
     effect_index, and (with_details) every details value per rule."""
-    from stellar_etl_spark.operators.effects import DETAIL_KEYS, EFFECT_RULES
+    from stellar_etl_spark.operators.effects import (
+        DETAIL_KEYS,
+        EFFECT_RULES,
+        LONG_TURN_TOKENS,
+    )
 
     rules = [r for r in EFFECT_RULES if contextual or not r.contextual]
     # coalesce to FALSE: a NULL predicate (lag signals at partition start)
@@ -335,7 +339,7 @@ ctxd AS (
     count(*) FILTER (WHERE role = 'assistant') OVER ({prior}) AS n_prior_assistant,
     count(*) FILTER (WHERE role = 'tool') OVER ({prior}) AS n_prior_tool,
     count(*) FILTER (WHERE role = 'user') OVER ({prior}) AS n_prior_user,
-    count(*) FILTER (WHERE ntok > 30) OVER ({prior}) AS n_prior_long,
+    count(*) FILTER (WHERE ntok > {LONG_TURN_TOKENS}) OVER ({prior}) AS n_prior_long,
     max(turn_idx) OVER (PARTITION BY conv_id) AS max_turn_idx,
     lag(ntok) OVER ({w}) AS prev_ntok,
     sum(ntok) OVER ({cum}) AS cum_tok,
@@ -1501,11 +1505,13 @@ def q_strkey_handles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _strkey_expected_values(n_users: int = 1024) -> str:
+def _strkey_expected_values(n_users: int = 2048) -> str:
     """Literal (conv_id, handle) rows computed with the SCALAR reference
     implementation — independent of the batch numpy path under test. Covers
-    the deterministic sf id space; an id outside it surfaces as a NULL handle
-    in the LEFT JOIN below (hash mismatch), never a silent drop."""
+    user_id 0..n_users-1, which spans every driver fixture up to sf0.1
+    (1,500 conversations); an id outside the covered range surfaces as a
+    NULL handle in the LEFT JOIN below (a loud hash mismatch), never a
+    silent drop — widen n_users if the fixtures ever grow past it."""
     import base64 as _b64
 
     from stellar_etl_spark.functions.encoding import _VERSION_BYTE, _crc16_xmodem

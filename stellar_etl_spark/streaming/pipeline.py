@@ -76,17 +76,16 @@ def run_export(
         if available_now:
             writer = writer.trigger(availableNow=True)
         q = writer.start()
-        if timeout_sec is None:
+        if available_now:
+            _await_bounded(q, timeout_sec)
+        elif timeout_sec is None:
             q.awaitTermination()
         else:
+            # unbounded run with an explicit deadline stops cleanly at it —
+            # the documented bounded-follow mode used by tests
             q.awaitTermination(timeout_sec)
-        if q.isActive:
-            q.stop()
-            if available_now:
-                raise TimeoutError(
-                    f"bounded export still running after {timeout_sec}s — "
-                    "raise timeout_sec (or pass None) instead of truncating"
-                )
+            if q.isActive:
+                q.stop()
         return listener.summary() if listener else {}
     finally:
         if listener:
@@ -104,6 +103,7 @@ def run_fanout_export(
     max_files_per_trigger: int | None = None,
     persist_batch: bool = False,
     output_partitions: int | None = None,
+    fmt: str = "parquet",
 ) -> dict[str, IdempotentSink]:
     """S12 GetAllHistory: one scan, N extractor outputs per micro-batch.
 
@@ -129,6 +129,7 @@ def run_fanout_export(
             f"{sink_root}/{name}",
             (keys or {}).get(name, ("conv_id", "turn_idx")),
             output_partitions=output_partitions,
+            fmt=fmt,
         )
         for name in extractors
     }

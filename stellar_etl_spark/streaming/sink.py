@@ -77,6 +77,7 @@ class IdempotentSink:
     def foreach_batch(self, df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import Observation
 
+        self._write_meta()
         if self.batch_transform is not None:
             df = self.batch_transform(df)
         if self.output_partitions:
@@ -89,6 +90,43 @@ class IdempotentSink:
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         df.write.mode("overwrite").format(self.fmt).save(out_dir)
         self._write_lineage(epoch_id, out_dir, int(obs.get["rows"]))
+
+    def _write_meta(self) -> None:
+        """Persist the sink's identity (keys, precedence, format) next to the
+        data — maintenance commands (compact) must not have to guess them; a
+        wrong key set would silently collapse rows before deleting the
+        originals."""
+        meta_path = os.path.join(self.path, "_sink_meta.json")
+        if os.path.exists(meta_path):
+            return
+        os.makedirs(self.path, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(
+                {"keys": self.keys, "order_cols": self.order_cols, "fmt": self.fmt}, f
+            )
+
+    @classmethod
+    def from_meta(cls, path: str, **overrides) -> "IdempotentSink":
+        """Reconstruct a sink from its persisted metadata (the safe route for
+        maintenance commands). Raises if the sink has no metadata and the
+        caller didn't override ``keys`` explicitly."""
+        meta_path = os.path.join(path, "_sink_meta.json")
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        kwargs = {
+            "keys": tuple(meta.get("keys", ())),
+            "order_cols": tuple(meta.get("order_cols", ())),
+            "fmt": meta.get("fmt", "parquet"),
+        }
+        kwargs.update(overrides)
+        if not kwargs["keys"]:
+            raise ValueError(
+                f"{path} has no _sink_meta.json — pass keys explicitly "
+                "(compacting with the wrong key set collapses rows)"
+            )
+        return cls(path, **kwargs)
 
     def _write_lineage(self, epoch_id: int, out_dir: str, n: int) -> None:
         rec = {
@@ -161,13 +199,22 @@ class IdempotentSink:
         """Rewrite the merge-on-read view into one epoch (the Iceberg
         ``rewrite_data_files`` analog for the accumulated per-window epochs).
 
-        Crash-safe ordering: (1) write the merged rows as epoch ``max+1`` —
-        from that commit on, :meth:`read_sink` returns the same relation
-        whether or not step (2) ran, because the new epoch wins every key;
-        (2) delete the older epoch dirs (pure space reclaim). Run only while
-        the exporter is stopped — a live checkpoint would reuse epoch ids.
-        Returns the new epoch id."""
+        The compacted epoch id is ``min(existing) - 1`` — strictly BELOW
+        every possible future micro-batch id, for two reasons: (1) a resumed
+        checkpoint continues assigning batch ids upward, so a ``max+1``
+        epoch would be overwritten by the very next batch (silent loss of
+        the whole compacted history); (2) the compacted rows are the
+        BASELINE — any future batch must win the key-precedence merge, which
+        ``epoch desc`` ordering gives exactly when the baseline carries the
+        lowest id. Repeated compactions keep descending (-1, -2, ...).
+
+        Crash-safe ordering: write outside the ``epoch=*`` glob, rename into
+        place (the merged relation is unchanged at that instant — the new
+        epoch loses every tie to the epochs it summarizes), then delete the
+        old dirs (pure space reclaim). Returns the new epoch id."""
         import shutil
+
+        from pyspark.sql import Observation
 
         epochs = sorted(
             int(n.split("=", 1)[1])
@@ -176,20 +223,21 @@ class IdempotentSink:
         )
         if not epochs:
             raise FileNotFoundError(f"no committed epochs under {self.path}")
-        new_epoch = epochs[-1] + 1
+        new_epoch = epochs[0] - 1
         merged = self.read_sink(spark)
         if self.output_partitions:
             merged = merged.coalesce(self.output_partitions)
         out_dir = os.path.join(self.path, f"epoch={new_epoch}")
         # the merged plan lazily scans epoch=* — write OUTSIDE that glob
         # first, then move into place, so the source snapshot can't include
-        # the half-written target
+        # the half-written target; the row count rides the write job
+        obs = Observation(f"compact-epoch-{new_epoch}")
+        merged = merged.observe(obs, F.count(F.lit(1)).alias("rows"))
         tmp_dir = os.path.join(self.path, "_compact_tmp")
         shutil.rmtree(tmp_dir, ignore_errors=True)
         merged.write.mode("overwrite").format(self.fmt).save(tmp_dir)
         os.rename(tmp_dir, out_dir)
-        n = spark.read.format(self.fmt).load(out_dir).count()
-        self._write_lineage(new_epoch, out_dir, int(n))
+        self._write_lineage(new_epoch, out_dir, int(obs.get["rows"]))
         for e in epochs:
             shutil.rmtree(os.path.join(self.path, f"epoch={e}"), ignore_errors=True)
             old = os.path.join(self.path, "_lineage", f"epoch-{e}.json")

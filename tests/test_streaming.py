@@ -414,22 +414,41 @@ def test_late_row_watermark_semantics(spark, tmp_path):
 
 
 def test_sink_compaction_preserves_merge_view(spark, source, tmp_path):
-    """compact() folds N epochs into one; the merge-on-read relation is
-    byte-identical before and after, lineage reflects the rewrite, and the
-    old epoch dirs are gone (rewrite_data_files analog)."""
-    path, df = source
+    """compact() folds N epochs into one BASELINE epoch (id below every
+    future batch id); the merge-on-read relation is byte-identical before
+    and after, lineage reflects the rewrite, the old epoch dirs are gone
+    (rewrite_data_files analog) — and a RESUMED export over the same
+    checkpoint must not collide with the compacted epoch (the next batch id
+    continues upward while the baseline sits below zero)."""
+    orig_path, df = source
+    path = str(tmp_path / "src")
+    shutil.copytree(orig_path, path)  # the test appends — don't mutate the fixture
     sink = IdempotentSink(str(tmp_path / "turns"), ("conv_id", "turn_idx"))
     run_export(spark, path, extract_turns, sink, str(tmp_path / "ckpt"),
                max_files_per_trigger=2)
     assert len(sink.lineage()) >= 2
     before = sorted(map(tuple, sink.read_sink(spark).collect()))
     epoch = sink.compact(spark)
+    assert epoch < 0  # baseline: below any future micro-batch id
     after = sorted(map(tuple, sink.read_sink(spark).collect()))
     assert after == before
     dirs = [n for n in os.listdir(str(tmp_path / "turns")) if n.startswith("epoch=")]
     assert dirs == [f"epoch={epoch}"]
     lin = sink.lineage()
     assert len(lin) == 1 and lin[0]["rows"] == len(before)
+
+    # resume: new data arrives, the SAME checkpoint continues batch ids —
+    # the compacted history must survive and the new rows must land
+    extra = spark.createDataFrame(
+        [("resumed_conv", 0, "user", "hello again", None, "2026-03-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).withColumn("ts_date", F.to_date("ts"))
+    extra.write.mode("append").partitionBy("ts_date").parquet(path)
+    run_export(spark, path, extract_turns, sink, str(tmp_path / "ckpt"),
+               max_files_per_trigger=2)
+    resumed = sink.read_sink(spark)
+    assert resumed.count() == len(before) + 1
+    assert resumed.where(F.col("conv_id") == "resumed_conv").count() == 1
 
 
 def test_jsonl_sink_exports_lines(spark, source, tmp_path):
