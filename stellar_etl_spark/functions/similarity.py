@@ -8,8 +8,9 @@
   Hyperplanes are deterministic (seeded hash), so results are replayable.
 
 At 100 TB the brute-force variant is the *verification* tool (exact answers on
-a sample); LSH is the production path — the bucket join shuffles (bucket_key,
-vec_id, vec) once, and AQE handles bucket skew.
+a sample); LSH is the production path — the bucket join shuffles only
+(table, bucket, vec_id) keys, vectors rejoin once for deduped candidates,
+and AQE handles bucket skew.
 """
 
 from __future__ import annotations
@@ -212,7 +213,11 @@ def lsh_topk(
     - ``tables`` > 1 OR-amplifies across independent hash tables — a
       candidate needs to collide in ANY table. The corpus is hashed (and its
       join keys replicated) once per table: the classic index-size-for-recall
-      trade (state carries (table, bucket, id), never the vectors twice).
+      trade. The bucket join is ID-ONLY — the exchange carries (table,
+      bucket, id), never the vectors — and candidate pairs are deduped on
+      (query_id, neighbor_id) BEFORE any cosine is computed, so a corpus
+      embedding moves at most once (for verified candidates) regardless of
+      ``tables``, and duplicate cross-table collisions pay zero O(dim) work.
 
     ``broadcast_queries`` picks the join strategy for the probe-expanded
     query side: ``True`` forces a broadcast (right for top-k-for-few-queries
@@ -228,9 +233,11 @@ def lsh_topk(
     almost surely, near-orthogonal ones almost never — measured numbers in
     BENCH/BASELINE.md."""
     def sigs(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        # signatures are computed scan-side from the vector, then the vector
+        # is DROPPED before the explode: only (id, tbl, bkt) enters the
+        # bucket-join exchange
         return df.select(
             F.col(idc),
-            F.col(vc),
             F.explode(
                 F.array(
                     *[
@@ -242,27 +249,20 @@ def lsh_topk(
                     ]
                 )
             ).alias("tb"),
-        ).select(idc, vc, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+        ).select(idc, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
 
-    c = sigs(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cvec")
-        ),
-        "neighbor_id",
-        "cvec",
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cvec")
     )
-    q = sigs(
-        queries.select(
-            F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qvec")
-        ),
-        "query_id",
-        "qvec",
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qvec")
     )
+    c = sigs(c_vecs, "neighbor_id", "cvec")
+    q = sigs(q_vecs, "query_id", "qvec")
     if probe_hamming > 0:
         masks = _probe_masks(bits, probe_hamming)
         q = q.select(
             "query_id",
-            "qvec",
             "tbl",
             F.explode(
                 F.array(*[F.col("bkt").bitwiseXOR(F.lit(m).cast("long")) for m in masks])
@@ -274,16 +274,22 @@ def lsh_topk(
     q_side = F.broadcast(q) if broadcast_queries else q
     # within one table a corpus row has one bucket and probe keys are
     # distinct, but the same pair can collide in several TABLES — dedup on
-    # (query, neighbor) before ranking
-    scored = (
+    # (query, neighbor) BEFORE the vectors come back, so cosine runs exactly
+    # once per unique candidate pair and corpus vectors shuffle once
+    candidates = (
         c.join(q_side, ["tbl", "bkt"])
         .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = (
+        candidates.join(c_vecs, "neighbor_id")
+        .join(F.broadcast(q_vecs) if broadcast_queries else q_vecs, "query_id")
         .select(
             "query_id",
             "neighbor_id",
             F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

@@ -144,6 +144,35 @@ def test_lsh_topk_join_variants(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_lsh_bucket_join_exchange_id_only(spark):
+    """VERDICT r3 #1: the (tbl, bkt) bucket-join exchange must carry ONLY ids
+    and bucket keys — at tables=8 an embedding riding that shuffle moves 8x.
+    Vectors may appear only in the post-dedup candidate joins (keyed on
+    neighbor_id / query_id, once per side)."""
+    from stellar_etl_spark.functions.similarity import lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = lsh_topk(emb, qs, dim=64, bits=6, probe_hamming=2, tables=8,
+                      broadcast_queries=False)
+        jvm = spark._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        txt = df._jdf.queryExecution().explainString(mode)
+        blocks = re.split(r"\n\(\d+\) ", txt)
+        bkt_exchanges = [
+            b for b in blocks
+            if b.startswith("Exchange") and re.search(r"hashpartitioning\([^)]*bkt#", b)
+        ]
+        assert bkt_exchanges, "expected at least one (tbl, bkt) exchange"
+        for b in bkt_exchanges:
+            assert "vec" not in b, f"vector column rides the bucket-join shuffle:\n{b}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_sessions_shares_partitioning(tdf):
     from stellar_etl_spark.operators import extract_sessions
 
