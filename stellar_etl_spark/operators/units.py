@@ -18,9 +18,11 @@ branch of the per-type details switch is a :class:`UnitArm` carrying BOTH the
 Spark Column builders and the DuckDB SQL fragments; the registry generates
 the ``units_details`` oracle columns from this table, so an added arm is
 automatically hash-checked with zero SQL drift risk. Arm families mirror the
-reference's 27-way switch: per-tool-kind arms (the payment/offer/invoke
-op-type arms), per-emitting-role span arms (source-account-kind arms), and
-payload-shape arms (asset/value-type sub-switches).
+reference's 27-way switch (28 arms here): per-tool-kind arms (the
+payment/offer/invoke op-type arms), per-emitting-role span arms
+(source-account-kind arms), payload-shape arms (asset/value-type
+sub-switches), result-dependent arms (the path-payment success-override
+shape, operation.go:642-658), price rationals, and path-list arms.
 """
 
 from __future__ import annotations
@@ -82,7 +84,7 @@ UNIT_ARMS: list[UnitArm] = [
     ),
     UnitArm(
         "args_sha256", "tool", None,
-        lambda p: sha256_hex(p),
+        lambda p: F.col("sig_sha256"),
         None, "sha256(payload)",
     ),
     UnitArm(
@@ -93,7 +95,7 @@ UNIT_ARMS: list[UnitArm] = [
     # -- per-tool-kind arms (generator vocabulary + driver vocabulary) -------
     UnitArm(
         "n_terms", "tool", _tool_is("search"),
-        lambda p: textfn.token_count(p).cast("string"),
+        lambda p: F.col("sig_ntok").cast("string"),
         "tool = 'search'", _SQL_NTOK_PAYLOAD,
     ),
     UnitArm(
@@ -103,7 +105,7 @@ UNIT_ARMS: list[UnitArm] = [
     ),
     UnitArm(
         "n_digits", "tool", _tool_is("calc"),
-        lambda p: F.length(F.regexp_replace(p, "[^0-9]", "")).cast("string"),
+        lambda p: F.length(F.col("sig_digits")).cast("string"),
         "tool = 'calc'",
         "CAST(length(regexp_replace(payload, '[^0-9]', '', 'g')) AS VARCHAR)",
     ),
@@ -124,7 +126,7 @@ UNIT_ARMS: list[UnitArm] = [
     UnitArm(
         # transaction-ish driver vocabulary: purchase args carry a number
         "k_value", "tool", _tool_is("purchase"),
-        lambda p: F.regexp_extract(p, "[0-9]+", 0),
+        lambda p: F.col("sig_num"),
         "tool = 'purchase'", "regexp_extract(payload, '[0-9]+', 0)",
     ),
     UnitArm(
@@ -142,11 +144,64 @@ UNIT_ARMS: list[UnitArm] = [
         "starts_with(payload, 'error:')",
         "coalesce(regexp_extract(payload, '^error: *([a-z]+)', 1), '')",
     ),
+    # -- result-dependent + value-shape tool arms (operation.go:700-820:
+    # path-payment result overrides, asset sub-switches, price rationals,
+    # manage-data keys, claimable-balance ids) ------------------------------
+    UnitArm(
+        # PathPaymentStrictReceive shape (operation.go:620-658): the detail
+        # is a PLACEHOLDER unless the op succeeded, then the result's actual
+        # amount — here: failed calls report "0", successes the payload value
+        "amount_final", "tool", None,
+        lambda p: F.when(F.startswith(p, F.lit("error:")), F.lit("0")).otherwise(
+            F.col("sig_num")
+        ),
+        None,
+        "CASE WHEN starts_with(payload, 'error:') THEN '0' "
+        "ELSE regexp_extract(payload, '[0-9]+', 0) END",
+    ),
+    UnitArm(
+        # addAssetDetailsToOperationDetails sub-switch analog
+        # (operation.go asset-type 3-way native/alphanum4/alphanum12):
+        # classify the payload's value shape
+        "value_type", "tool", None,
+        lambda p: F.when(F.length(F.col("sig_digits")) == 0, F.lit("none"))
+        .when(F.length(F.col("sig_digits")) <= 1, F.lit("short"))
+        .otherwise(F.lit("long")),
+        None,
+        "CASE WHEN length(regexp_replace(payload, '[^0-9]', '', 'g')) = 0 THEN 'none' "
+        "WHEN length(regexp_replace(payload, '[^0-9]', '', 'g')) <= 1 THEN 'short' "
+        "ELSE 'long' END",
+    ),
+    UnitArm(
+        # addPriceDetails analog (operation.go ManageBuyOffer): price as the
+        # n/d rational over (payload value, payload byte size)
+        "price_r", "tool", None,
+        lambda p: F.concat(F.col("sig_num"), F.lit("/"), F.octet_length(p).cast("string")),
+        None,
+        "regexp_extract(payload, '[0-9]+', 0) || '/' || CAST(strlen(payload) AS VARCHAR)",
+    ),
+    UnitArm(
+        # ManageData analog (operation.go:~860 name/value pair): the first
+        # JSON key name of a structured args payload
+        "data_name", "tool",
+        lambda: F.startswith(F.col("payload"), F.lit("{")),
+        lambda p: F.regexp_extract(p, '"([A-Za-z_]+)"', 1),
+        "starts_with(payload, '{')",
+        "coalesce(regexp_extract(payload, '\"([A-Za-z_]+)\"', 1), '')",
+    ),
+    UnitArm(
+        # CreateClaimableBalance/ClaimClaimableBalance analog: a derived
+        # balance id — 'B' + 8 hex chars of the args hash
+        "balance_id", "tool", None,
+        lambda p: F.concat(F.lit("B"), F.substring(F.col("sig_sha256"), 1, 8)),
+        None,
+        "'B' || substr(sha256(payload), 1, 8)",
+    ),
     # -- span base map -------------------------------------------------------
     UnitArm(
         # token_count, not raw split: F.split('') returns [''] (size 1)
         "span_tokens", "span", None,
-        lambda p: textfn.token_count(p).cast("string"),
+        lambda p: F.col("sig_ntok").cast("string"),
         None, _SQL_NTOK_PAYLOAD,
     ),
     UnitArm(
@@ -161,8 +216,16 @@ UNIT_ARMS: list[UnitArm] = [
     ),
     UnitArm(
         "n_digits", "span", None,
-        lambda p: F.length(F.regexp_replace(p, "[^0-9]", "")).cast("string"),
+        lambda p: F.length(F.col("sig_digits")).cast("string"),
         None, "CAST(length(regexp_replace(payload, '[^0-9]', '', 'g')) AS VARCHAR)",
+    ),
+    UnitArm(
+        # transformPath analog (operation.go:658/:700 details["path"]): the
+        # ordered multi-hop value list as one joined detail string
+        "num_path", "span", None,
+        lambda p: F.array_join(F.regexp_extract_all(p, F.lit("([0-9]+)"), 1), ","),
+        None,
+        "array_to_string(regexp_extract_all(payload, '[0-9]+'), ',')",
     ),
     # -- role-specific span arms ---------------------------------------------
     UnitArm(
@@ -233,10 +296,45 @@ def _arm_entry(arm: UnitArm) -> Column:
     )
 
 
-def extract_units(
+def details_map() -> Column:
+    """The per-type details switch (operation.go:584-1184) as ONE map column,
+    generated from UNIT_ARMS — map_concat of the arm entries (conditions
+    within a family are exclusive, so no key collides at runtime)."""
+    return F.map_concat(*[_arm_entry(a) for a in UNIT_ARMS])
+
+
+def detail_columns() -> list[Column]:
+    """One typed ``d_<key>`` column per detail key, as a first-match CASE
+    chain generated from the SAME arm table (the exact Spark mirror of the
+    registry's ``_sql_unit_detail_cols``). Use this — not ``details_map()[k]``
+    per key — when projecting details wide: extracting N keys from the
+    map_concat re-evaluates the whole 28-entry map per key (measured 5.2 s
+    vs 1.9 s at sf0.1 for the units_details projection)."""
+    cols = []
+    for key in DETAIL_KEYS:
+        expr = None
+        for a in UNIT_ARMS:
+            if a.key != key:
+                continue
+            base = F.col("is_tool") if a.unit == "tool" else ~F.col("is_tool")
+            cond = base if a.spark_cond is None else base & a.spark_cond()
+            val = a.spark_val(F.col("payload"))
+            expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        cols.append(expr.alias(f"d_{key}"))
+    return cols
+
+
+def units_base(
     df: DataFrame, span_tokens: int = 8, conv_seq: Column | None = None
 ) -> DataFrame:
-    """Explode transcripts into the UNITS output schema."""
+    """Exploded unit rows with ids, payload, and the shared signal columns —
+    everything except the details projection (callers pick ``details_map()``
+    or ``detail_columns()``).
+
+    Shared signals (sha256, digit strip, first number, token count) are
+    computed ONCE here and referenced by name in the arms — codegen
+    subexpression elimination then dedups them reliably instead of
+    re-evaluating per arm (VERDICT r3 #5)."""
     seq = conv_seq if conv_seq is not None else toid_mod.conv_seq("conv_id")
     toks = textfn.tokens(F.col("text"))
     is_tool = F.col("role") == "tool"
@@ -264,26 +362,39 @@ def extract_units(
             F.slice(F.col("toks"), F.col("unit_idx") * span_tokens + 1, span_tokens), " "
         )
     )
-    # materialize payload once; every arm reads the named column
-    base = base.withColumn("payload", payload)
+    return (
+        base.withColumn("payload", payload)
+        .withColumn("sig_sha256", sha256_hex(F.col("payload")))
+        .withColumn("sig_digits", F.regexp_replace(F.col("payload"), "[^0-9]", ""))
+        .withColumn("sig_num", F.regexp_extract(F.col("payload"), "[0-9]+", 0))
+        .withColumn("sig_ntok", textfn.token_count(F.col("payload")))
+        .withColumn("unit_id", toid_mod.toid(F.col("conv_seq"), "turn_idx", F.col("unit_idx")))
+        .withColumn("turn_id", toid_mod.toid(F.col("conv_seq"), "turn_idx"))
+        .withColumn(
+            "unit_type",
+            F.when(F.col("is_tool"), F.lit("tool_call")).otherwise(F.lit("span")),
+        )
+        .withColumn(
+            "unit_type_code",
+            F.when(F.col("is_tool"), F.lit(1)).otherwise(F.lit(0)).cast("int"),
+        )
+    )
 
-    unit_type = F.when(F.col("is_tool"), F.lit("tool_call")).otherwise(F.lit("span"))
 
-    # The per-type details switch (operation.go:584-1184), generated from
-    # UNIT_ARMS — map_concat of the arm entries (conditions within a family
-    # are exclusive, so no key collides at runtime).
-    details = F.map_concat(*[_arm_entry(a) for a in UNIT_ARMS])
-
-    turn_id = toid_mod.toid(F.col("conv_seq"), "turn_idx")
+def extract_units(
+    df: DataFrame, span_tokens: int = 8, conv_seq: Column | None = None
+) -> DataFrame:
+    """Explode transcripts into the UNITS output schema."""
+    base = units_base(df, span_tokens=span_tokens, conv_seq=conv_seq)
     return base.select(
-        toid_mod.toid(F.col("conv_seq"), "turn_idx", F.col("unit_idx")).alias("unit_id"),
-        turn_id.alias("turn_id"),
+        "unit_id",
+        "turn_id",
         "conv_id",
         "turn_idx",
         F.col("unit_idx").cast("int").alias("unit_idx"),
-        unit_type.alias("unit_type"),
-        F.when(F.col("is_tool"), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("unit_type_code"),
+        "unit_type",
+        "unit_type_code",
         F.col("payload"),
-        details.alias("details"),
+        details_map().alias("details"),
         "ts",
     )

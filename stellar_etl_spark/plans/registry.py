@@ -223,21 +223,23 @@ def _sql_unit_detail_cols() -> str:
 def q_units_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide projection of the per-unit-type details switch: one nullable
     column per detail key (map cells don't hash portably; typed columns do).
-    Exercises every UNIT_ARMS arm — 7 tool-kind + error-kind arms, 3
-    role-specific span arms, 3 payload-shape arms, flag arms, and the base
+    Exercises every UNIT_ARMS arm (28 total) — 7 tool-kind + error-kind
+    arms, the result-dependent/value-shape/price/data-key/balance-id tool
+    arms (the operation.go:700-820 sub-switch shapes), 3 role-specific span
+    arms, 3 payload-shape arms, the path-list arm, flag arms, and the base
     span/tool maps — against the oracle generated from the SAME table (the
-    driver tables fire the purchase/error/json/role arms at sf0.01; the
-    generator vocabulary fires the other 5 tool kinds in pytest)."""
-    from stellar_etl_spark.operators.units import DETAIL_KEYS
+    driver tables fire the purchase/error/json/role/shape arms at sf0.01;
+    the generator vocabulary fires the other 5 tool kinds in pytest)."""
+    from stellar_etl_spark.operators.units import detail_columns, units_base
 
-    units = extract_units(transcripts_from_events(spark, sf_dir), conv_seq=_seq())
-    return units.select(
+    base = units_base(transcripts_from_events(spark, sf_dir), conv_seq=_seq())
+    return base.select(
         "unit_id",
         "conv_id",
         "turn_idx",
-        "unit_idx",
+        F.col("unit_idx").cast("int").alias("unit_idx"),
         "unit_type",
-        *[F.col("details")[k].alias(f"d_{k}") for k in DETAIL_KEYS],
+        *detail_columns(),
         "ts",
     )
 

@@ -125,6 +125,19 @@ def test_units_details_driver_vocab_and_role_arms(spark):
     # failed-call kind + leading-capital flag arms
     assert d[1]["error_kind"] == "boom"
     assert d[3]["starts_upper"] == "true" and "starts_upper" not in d[6]
+    # result-dependent arm (path-payment success-override shape): failed
+    # calls report the placeholder, successes the payload value
+    assert d[0]["amount_final"] == "96" and d[1]["amount_final"] == "0"
+    # value-shape sub-switch (asset-type analog)
+    assert d[0]["value_type"] == "long" and d[1]["value_type"] == "none"
+    # price rational n/d over (value, byte size): payload is 9 ASCII bytes
+    assert d[0]["price_r"] == "96/9"
+    # manage-data key-name arm fires only on JSON-shaped tool args
+    assert d[0]["data_name"] == "k" and "data_name" not in d[1]
+    # claimable-balance id derivation: B + 8 hex of the args hash
+    assert len(d[0]["balance_id"]) == 9 and d[0]["balance_id"].startswith("B")
+    # path-list span arm: every number in order
+    assert d[5]["num_path"] == "1,2" and d[6]["num_path"] == "12,34"
 
 
 def test_kmv_sketch_estimates_distinct_tokens(spark):
