@@ -27,12 +27,19 @@ Rule families (mirroring the reference's emitter shapes):
   balance deltas → token growth/shrink, running balances → cumulative-token
   milestones and the running-vs-total half-point, flag set/clear → text
   resumed, last-of-group closures, rapid tool chaining);
-- codes 34-37 — per-(conv_id, tool) window (``signer added/removed`` /
-  sponsorship-chain shape — the J3 within-group prior-op lookback): first/
-  last use of each tool kind, args changed/repeated vs the prior call of the
-  SAME tool. The second window partitioning rides the conv_id Exchange
-  (hash(conv_id) already clusters (conv_id, tool)), so the whole contextual
-  plan still has exactly ONE shuffle — pinned in tests/test_plans.py.
+- codes 34-37 — per-(conv_id, tool) window (``signer added/removed`` shape —
+  the J3 within-group prior-op lookback): first/last use of each tool kind,
+  args changed/repeated vs the prior call of the SAME tool. The second
+  window partitioning rides the conv_id Exchange (hash(conv_id) already
+  clusters (conv_id, tool)), so the whole contextual plan still has exactly
+  ONE shuffle — pinned in tests/test_plans.py;
+- codes 40-45 — the sponsorship-chain triple x2 entity kinds
+  (``schema.go:377-486`` enum tail: sponsorship created/updated/removed per
+  entity, emitters ``effects.go:~900-1100``): tool-kind entities sponsored
+  by the most recent prior user turn (established on first call, updated
+  when the requester changed between calls of the SAME kind, revoked at the
+  kind's last call before the conversation ends), and the conversation
+  entity sponsored by the most recent system directive.
 """
 
 from __future__ import annotations
@@ -389,6 +396,71 @@ EFFECT_RULES: list[EffectRule] = [
         "tot_tok > 0 AND cum_tok * 2 >= tot_tok AND (cum_tok - ntok) * 2 < tot_tok",
         (("cum_tokens", "CAST(cum_tok AS VARCHAR)"),),
     ),
+    # -- sponsorship-chain triple x2 entity kinds (40-45): the reference's
+    # sponsorship created/updated/removed per-entity emitters
+    # (schema.go:377-486 enum tail, effects.go:~900-1100). Entity kind 1:
+    # each TOOL KIND, sponsored by the most recent prior user turn (the
+    # requester). Entity kind 2: the CONVERSATION, sponsored by the most
+    # recent system directive. ------------------------------------------------
+    EffectRule(
+        40, "tool_sponsor_established", True,
+        lambda p: (F.col("role") == "tool")
+        & F.col("tool").isNotNull()
+        & F.col("_tool_prev_idx").isNull()
+        & F.col("_sponsor_idx").isNotNull(),
+        (_TOOL, ("sponsor", _s("_sponsor_idx"))),
+        "role = 'tool' AND tool IS NOT NULL AND tool_prev_idx IS NULL AND sponsor_idx IS NOT NULL",
+        (_SQL_TOOL, ("sponsor", "CAST(sponsor_idx AS VARCHAR)")),
+    ),
+    EffectRule(
+        41, "tool_sponsor_updated", True,
+        lambda p: (F.col("role") == "tool")
+        & F.col("_tool_prev_sponsor").isNotNull()
+        & F.col("_sponsor_idx").isNotNull()
+        & (F.col("_tool_prev_sponsor") != F.col("_sponsor_idx")),
+        (_TOOL, ("from", _s("_tool_prev_sponsor")), ("to", _s("_sponsor_idx"))),
+        "role = 'tool' AND tool_prev_sponsor IS NOT NULL AND sponsor_idx IS NOT NULL "
+        "AND tool_prev_sponsor <> sponsor_idx",
+        (
+            _SQL_TOOL,
+            ("from", "CAST(tool_prev_sponsor AS VARCHAR)"),
+            ("to", "CAST(sponsor_idx AS VARCHAR)"),
+        ),
+    ),
+    EffectRule(
+        42, "tool_sponsor_revoked", True,
+        lambda p: (F.col("role") == "tool")
+        & F.col("tool").isNotNull()
+        & F.col("_tool_next_idx").isNull()
+        & (F.col("turn_idx") < F.col("_max_turn_idx"))
+        & F.col("_sponsor_idx").isNotNull(),
+        (_TOOL, ("sponsor", _s("_sponsor_idx"))),
+        "role = 'tool' AND tool IS NOT NULL AND tool_next_idx IS NULL "
+        "AND turn_idx < max_turn_idx AND sponsor_idx IS NOT NULL",
+        (_SQL_TOOL, ("sponsor", "CAST(sponsor_idx AS VARCHAR)")),
+    ),
+    EffectRule(
+        43, "conv_sponsor_established", True,
+        lambda p: (F.col("role") == "system") & (F.col("_n_prior_system") == 0),
+        (_TURN_IDX,),
+        "role = 'system' AND n_prior_system = 0", (_SQL_TURN_IDX,),
+    ),
+    EffectRule(
+        44, "conv_sponsor_updated", True,
+        lambda p: (F.col("role") == "system") & (F.col("_n_prior_system") > 0),
+        (("from", _s("_prev_system_idx")), ("to", _s("turn_idx"))),
+        "role = 'system' AND n_prior_system > 0",
+        (("from", "CAST(prev_system_idx AS VARCHAR)"), ("to", "CAST(turn_idx AS VARCHAR)")),
+    ),
+    EffectRule(
+        45, "conv_sponsor_revoked", True,
+        lambda p: (F.col("turn_idx") == F.col("_max_turn_idx"))
+        & F.col("_prev_system_idx").isNotNull()
+        & (F.col("role") != "system"),
+        (("sponsor", _s("_prev_system_idx")),),
+        "turn_idx = max_turn_idx AND prev_system_idx IS NOT NULL AND role <> 'system'",
+        (("sponsor", "CAST(prev_system_idx AS VARCHAR)"),),
+    ),
 ]
 
 EFFECT_TYPES = {r.code: r.name for r in EFFECT_RULES}
@@ -495,7 +567,7 @@ def extract_effects_contextual(
     burst_sec: int = BURST_SEC,
     conv_seq: Column | None = None,
 ) -> DataFrame:
-    """The full emitter table (codes 0-39): row-local rules plus
+    """The full emitter table (codes 0-45): row-local rules plus
     per-conversation lag/state-diff rules plus per-(conv_id, tool) group
     rules, over successful turns ordered by turn_idx.
 
@@ -537,6 +609,15 @@ def extract_effects_contextual(
         .over(w_all)
         .alias("_max_assistant_idx"),
         F.sum("_ntok").over(w_all).alias("_tot_tok"),
+        # sponsorship signals (40-45): prior-user requester, prior-system
+        # directive — same conv_id window, no extra Exchange
+        F.max(F.when(F.col("role") == "user", F.col("turn_idx")))
+        .over(w_prior)
+        .alias("_sponsor_idx"),
+        F.count(F.when(F.col("role") == "system", 1)).over(w_prior).alias("_n_prior_system"),
+        F.max(F.when(F.col("role") == "system", F.col("turn_idx")))
+        .over(w_prior)
+        .alias("_prev_system_idx"),
     )
     # per-(conv_id, tool) group signals (34-37) — planned ABOVE the conv_id
     # window so hash(conv_id) already satisfies the clustered distribution
@@ -549,6 +630,7 @@ def extract_effects_contextual(
         F.lead("turn_idx").over(wt).alias("_tool_next_idx"),
         F.lag("_s").over(wt).alias("_tool_prev_text"),
         F.count(F.lit(1)).over(wt_all).alias("_tool_n_uses"),
+        F.lag("_sponsor_idx").over(wt).alias("_tool_prev_sponsor"),
     )
     emitters = [_emitter(r, params) for r in EFFECT_RULES]
     return _explode_emitters(base, emitters, seq)

@@ -289,7 +289,7 @@ def q_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_effects_contextual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full emitter table (row-local + lag-context + state-diff + per-tool
-    group rules, codes 0-39)."""
+    group + sponsorship-chain rules, codes 0-45)."""
     from stellar_etl_spark.operators.effects import extract_effects_contextual
 
     return extract_effects_contextual(
@@ -300,7 +300,7 @@ def q_effects_contextual(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_effects_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every emitter's details map, one typed VARCHAR column per detail key
     (the units_details pattern — map cells don't hash portably; typed
-    columns do). Hash-covers the details VALUES of all 40 rules."""
+    columns do). Hash-covers the details VALUES of all 46 rules."""
     from stellar_etl_spark.operators.effects import DETAIL_KEYS, extract_effects_contextual
 
     eff = extract_effects_contextual(transcripts_from_events(spark, sf_dir), conv_seq=_seq())
@@ -353,12 +353,16 @@ ctxd AS (
     lag(turn_idx) OVER ({tw}) AS tool_prev_idx,
     lead(turn_idx) OVER ({tw}) AS tool_next_idx,
     lag(coalesce(text, '')) OVER ({tw}) AS tool_prev_text,
-    count(*) OVER (PARTITION BY conv_id, tool) AS tool_n_uses
+    count(*) OVER (PARTITION BY conv_id, tool) AS tool_n_uses,
+    max(turn_idx) FILTER (WHERE role = 'user') OVER ({prior}) AS sponsor_idx,
+    count(*) FILTER (WHERE role = 'system') OVER ({prior}) AS n_prior_system,
+    max(turn_idx) FILTER (WHERE role = 'system') OVER ({prior}) AS prev_system_idx
   FROM succ
 ),
 gapped AS (
   SELECT *, floor(epoch(ts)) - floor(epoch(prev_ts)) AS gap_sec,
-            floor(epoch(prev_ts)) - floor(epoch(prev2_ts)) AS prev_gap
+            floor(epoch(prev_ts)) - floor(epoch(prev2_ts)) AS prev_gap,
+            lag(sponsor_idx) OVER ({tw}) AS tool_prev_sponsor
   FROM ctxd
 )"""
         src = "gapped"

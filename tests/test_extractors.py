@@ -190,6 +190,15 @@ def test_contextual_effects_rules(micro):
     # per-(conv, tool) rules (34-37): failed turn 3 excluded, so the single
     # successful search call is both first and last of its kind
     assert "tool_first_of_kind" in by[("conv_a", 4)]
+    # sponsorship-chain rules (40-45): the first search call is sponsored by
+    # the prior user turn; it is also the conversation's last turn, so the
+    # revoked rule (which needs the conversation to continue) must NOT fire
+    assert "tool_sponsor_established" in by[("conv_a", 4)]
+    assert "tool_sponsor_revoked" not in by[("conv_a", 4)]
+    # conv_b's single system turn establishes the conversation sponsor; with
+    # no later non-system turn nothing revokes it
+    assert "conv_sponsor_established" in by[("conv_b", 0)]
+    assert all("conv_sponsor_revoked" not in s for s in by.values())
     assert "tool_last_of_kind" in by[("conv_a", 4)]
     details = {
         (r["conv_id"], r["turn_idx"], r["effect_type_string"]): r["details"]
