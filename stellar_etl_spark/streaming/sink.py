@@ -32,6 +32,58 @@ from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 
+def _orderable(dtype) -> bool:
+    """True if a column of this type can appear in a Window ORDER BY. Maps
+    are not orderable in Spark — and neither is any type CONTAINING a map
+    (array<map>, struct with a map field), so walk the type recursively."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dtype, MapType):
+        return False
+    if isinstance(dtype, ArrayType):
+        return _orderable(dtype.elementType)
+    if isinstance(dtype, StructType):
+        return all(_orderable(f.dataType) for f in dtype.fields)
+    return True
+
+
+def key_precedence_dedup(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    recency_col: str | None = None,
+) -> DataFrame:
+    """THE merge resolution both sinks share: one surviving row per business
+    key, picked by ``order_cols`` desc, then the recency column (epoch) desc
+    when present, then every orderable data column in name order desc. The
+    pick is a pure function of the row data, so any replay history resolves
+    to the same survivor — this single definition is what makes the local
+    parquet sink and the Iceberg MERGE sink semantically interchangeable
+    (asserted by tests/test_streaming.py::test_merge_semantics_shared).
+
+    If every non-key column is unorderable (all maps), fall back to ordering
+    by the keys — constant within the partition, so the pick degenerates to
+    "any one row", which is correct only because full-map rows carry no
+    orderable distinguishing data; the Window still analyzes instead of
+    raising on an empty ORDER BY."""
+    tiebreak = sorted(
+        f.name
+        for f in df.schema.fields
+        if f.name not in keys
+        and f.name not in order_cols
+        and f.name != recency_col
+        and _orderable(f.dataType)
+    )
+    order = [F.col(c).desc() for c in order_cols]
+    if recency_col is not None:
+        order.append(F.col(recency_col).desc())
+    order += [F.col(c).desc_nulls_last() for c in tiebreak]
+    if not order:
+        order = [F.col(k).asc() for k in keys]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
 class IdempotentSink:
     """foreachBatch sink with deterministic epoch-keyed writes.
 
@@ -97,13 +149,24 @@ class IdempotentSink:
         wrong key set would silently collapse rows before deleting the
         originals."""
         meta_path = os.path.join(self.path, "_sink_meta.json")
+        current = {"keys": self.keys, "order_cols": self.order_cols, "fmt": self.fmt}
         if os.path.exists(meta_path):
+            # re-exporting into an existing sink with a DIFFERENT identity
+            # must fail loudly: stale metadata would make a later
+            # from_meta/compact merge with the wrong keys or format — the
+            # silent row-collapse the metadata exists to prevent
+            with open(meta_path) as f:
+                existing = json.load(f)
+            if existing != current:
+                raise ValueError(
+                    f"sink at {self.path} was created with {existing}, but this "
+                    f"sink is configured as {current} — refusing to mix "
+                    "identities in one path (delete the sink or match its config)"
+                )
             return
         os.makedirs(self.path, exist_ok=True)
         with open(meta_path, "w") as f:
-            json.dump(
-                {"keys": self.keys, "order_cols": self.order_cols, "fmt": self.fmt}, f
-            )
+            json.dump(current, f)
 
     @classmethod
     def from_meta(cls, path: str, **overrides) -> "IdempotentSink":
@@ -167,29 +230,13 @@ class IdempotentSink:
         WITHIN an epoch (at-least-once delivery) are resolved by the data
         columns themselves (name order, desc) after any explicit order_cols —
         the pick must be a pure function of the rows so every replay reads
-        the same survivor (found by the hypothesis replay property test)."""
-        from pyspark.sql.types import MapType
-
+        the same survivor (found by the hypothesis replay property test).
+        The resolution itself is the shared :func:`key_precedence_dedup` —
+        the same rule the Iceberg MERGE sink applies per batch."""
         df = self.read_raw(spark)
-        tiebreak = sorted(
-            f.name
-            for f in df.schema.fields
-            if f.name not in self.keys
-            and f.name not in self.order_cols
-            and f.name != "epoch"
-            and not isinstance(f.dataType, MapType)
-        )
-        order = (
-            [F.col(c).desc() for c in self.order_cols]
-            + [F.col("epoch").desc()]
-            + [F.col(c).desc_nulls_last() for c in tiebreak]
-        )
-        w = Window.partitionBy(*self.keys).orderBy(*order)
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn", "epoch")
-        )
+        return key_precedence_dedup(
+            df, self.keys, self.order_cols, recency_col="epoch"
+        ).drop("epoch")
 
     def lineage(self) -> list[dict]:
         return _read_lineage(self.path)
@@ -215,6 +262,16 @@ class IdempotentSink:
         import shutil
 
         from pyspark.sql import Observation
+
+        if self.fmt == "json":
+            # the rewrite would go through JSON schema inference: all-null
+            # columns drop and timestamps round-trip as strings, so the
+            # compacted epoch's schema could drift from the original epochs.
+            # JSONL epochs are final export artifacts, not a merge substrate.
+            raise ValueError(
+                f"compact() is parquet-only; sink at {self.path} is fmt='json' "
+                "(JSON schema inference would drift the compacted schema)"
+            )
 
         epochs = sorted(
             int(n.split("=", 1)[1])
@@ -284,20 +341,13 @@ class IcebergMergeSink:
             raise RuntimeError("Iceberg runtime not on the classpath")
         # Iceberg raises a cardinality error if several source rows match one
         # target row; at-least-once delivery can duplicate keys within a
-        # micro-batch, so dedup on the business key first (latest wins,
-        # mirroring read_sink precedence). The pick must be DETERMINISTIC
-        # across task retries and checkpoint replays (exactly-once contract) —
-        # monotonically_increasing_id() is not; order by data columns instead.
-        from pyspark.sql.types import MapType
-
-        # maps are not orderable in Spark — skip them in the fallback order
-        order = self.order_cols or sorted(
-            f.name
-            for f in df.schema.fields
-            if f.name not in self.keys and not isinstance(f.dataType, MapType)
-        )
-        w = Window.partitionBy(*self.keys).orderBy(*[F.col(c).desc_nulls_last() for c in order])
-        df = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+        # micro-batch, so dedup on the business key first with the SAME
+        # shared resolution read_sink uses (key_precedence_dedup) — the pick
+        # must be DETERMINISTIC across task retries and checkpoint replays
+        # (exactly-once contract), and using one definition for both sinks is
+        # what keeps their merged relations identical under any replay
+        # history (asserted by test_merge_semantics_shared).
+        df = key_precedence_dedup(df, self.keys, self.order_cols)
         view = f"_merge_src_{epoch_id}"
         df.createOrReplaceTempView(view)
         on = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)

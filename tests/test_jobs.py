@@ -46,8 +46,9 @@ def test_spark_submit_pyfiles(tmp_path):
     import shutil
     import subprocess
     import sys
+    from pathlib import Path
 
-    repo = "/root/repo"
+    repo = str(Path(__file__).resolve().parents[1])
     pkg = str(tmp_path / "stellar_etl_spark")
     shutil.make_archive(pkg, "zip", repo, "stellar_etl_spark")
     launcher = tmp_path / "launch.py"

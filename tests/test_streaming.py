@@ -518,3 +518,92 @@ def test_streaming_pairs_state_bounded_under_disorder(spark, tmp_path):
     assert m["max_state_rows"] < total_rows
     assert m["final_state_rows"] <= m["max_state_rows"]
     assert m["max_state_bytes"] > 0
+
+
+def _mk_batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, score int"
+    )
+
+
+def test_merge_semantics_shared(spark, tmp_path):
+    """The key-precedence MERGE resolution is ONE shared function
+    (key_precedence_dedup): folding a replayed batch history through the
+    Iceberg-MERGE semantics (per-batch dedup, then sequential upsert — later
+    batch wins on key match, replays idempotent) yields exactly the relation
+    IdempotentSink.read_sink merges from the same epochs."""
+    from stellar_etl_spark.streaming.sink import key_precedence_dedup
+
+    keys = ["conv_id", "turn_idx"]
+    history = [
+        # epoch 0: within-batch duplicate key (at-least-once delivery)
+        (0, [("a", 0, "v1", 1), ("a", 0, "v2", 2), ("b", 0, "b1", 1)]),
+        # epoch 1: updates a, inserts c
+        (1, [("a", 0, "v3", 3), ("c", 0, "c1", 1)]),
+        # epoch 1 REPLAYED (killed-and-resumed job rewrites the same batch)
+        (1, [("a", 0, "v3", 3), ("c", 0, "c1", 1)]),
+        # epoch 2: updates c
+        (2, [("c", 0, "c2", 9)]),
+    ]
+
+    sink = IdempotentSink(str(tmp_path / "merge_eq"), tuple(keys))
+    target = None
+    for epoch, rows in history:
+        batch = _mk_batch(spark, rows)
+        sink.foreach_batch(batch, epoch)
+        # the Iceberg path: shared dedup, then MERGE INTO (upsert) — simulated
+        # engine-agnostically with unionByName + left_anti
+        s = key_precedence_dedup(batch, keys, [])
+        target = s if target is None else s.unionByName(target.join(s, keys, "left_anti"))
+
+    got = sorted(map(tuple, sink.read_sink(spark).collect()))
+    want = sorted(map(tuple, target.collect()))
+    assert got == want
+    # and the survivors are the intended ones
+    by_key = {(r[0], r[1]): r for r in got}
+    assert by_key[("a", 0)][2] == "v3" and by_key[("c", 0)][2] == "c2"
+
+
+def test_sink_meta_mismatch_raises(spark, tmp_path):
+    """Re-exporting into an existing sink path with a different key set or
+    format must raise, not silently leave stale metadata (ADVICE r3)."""
+    path = str(tmp_path / "meta_guard")
+    sink = IdempotentSink(path, ("conv_id", "turn_idx"))
+    sink.foreach_batch(_mk_batch(spark, [("a", 0, "x", 1)]), 0)
+    bad_keys = IdempotentSink(path, ("conv_id",))
+    with pytest.raises(ValueError, match="refusing to mix"):
+        bad_keys.foreach_batch(_mk_batch(spark, [("a", 1, "y", 1)]), 1)
+    bad_fmt = IdempotentSink(path, ("conv_id", "turn_idx"), fmt="json")
+    with pytest.raises(ValueError, match="refusing to mix"):
+        bad_fmt.foreach_batch(_mk_batch(spark, [("a", 1, "y", 1)]), 1)
+    # matching identity still writes
+    sink.foreach_batch(_mk_batch(spark, [("a", 1, "y", 1)]), 1)
+    assert sink.read_sink(spark).count() == 2
+
+
+def test_compact_json_sink_raises(spark, tmp_path):
+    """compact() is parquet-only: a JSON rewrite goes through schema
+    inference (all-null columns drop, timestamps become strings)."""
+    path = str(tmp_path / "jsonl_compact")
+    sink = IdempotentSink(path, ("conv_id", "turn_idx"), fmt="json")
+    sink.foreach_batch(_mk_batch(spark, [("a", 0, "x", 1)]), 0)
+    with pytest.raises(ValueError, match="parquet-only"):
+        sink.compact(spark)
+
+
+def test_dedup_orderability_handles_nested_maps(spark, tmp_path):
+    """The tiebreak order must exclude any type CONTAINING a map (array<map>,
+    struct-with-map), and an all-map payload falls back to key ordering
+    instead of raising on an empty ORDER BY (ADVICE r3)."""
+    from stellar_etl_spark.streaming.sink import key_precedence_dedup
+
+    df = spark.createDataFrame(
+        [("a", 0, [{"k": "1"}]), ("a", 0, [{"k": "2"}]), ("b", 0, [{"k": "3"}])],
+        "conv_id string, turn_idx int, payload array<map<string,string>>",
+    )
+    out = key_precedence_dedup(df, ["conv_id", "turn_idx"], [])
+    assert out.count() == 2  # analyzed + deduped, no AnalysisException
+    # and a sink whose every non-key column is such a type still merges
+    sink = IdempotentSink(str(tmp_path / "maps"), ("conv_id", "turn_idx"))
+    sink.foreach_batch(df, 0)
+    assert sink.read_sink(spark).count() == 2
