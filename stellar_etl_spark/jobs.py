@@ -7,6 +7,7 @@ commands (``cmd/export_*.go``), launched as::
 Commands mirror the reference (README.md command table):
 
   export_turns           ≈ export_transactions   (T2)
+  export_raw             ≈ export_ledger_transaction (T3 raw envelope)
   export_conversations   ≈ export_ledgers        (T1/A1)
   export_units           ≈ export_operations     (T4)
   export_effects         ≈ export_effects        (T5)
@@ -15,6 +16,7 @@ Commands mirror the reference (README.md command table):
   export_timeline        ≈ export_contract_events(T20/J6)
   export_all             ≈ export_all_history    (S12 fan-out)
   export_changes         ≈ export_ledger_entry_changes (A4 compaction)
+  export_dedup           ≈ export_assets         (A2 first-seen dedup)
   get_time_range         ≈ get_ledger_range_from_times (§3.3)
   generate               — synthetic input generator (test fixture)
 
@@ -77,6 +79,8 @@ def main(argv: list[str] | None = None) -> int:
 
     batch_cmds = [
         "export_turns",
+        "export_raw",
+        "export_dedup",
         "export_conversations",
         "export_units",
         "export_effects",
@@ -203,8 +207,28 @@ def main(argv: list[str] | None = None) -> int:
     def turns_ex(df):
         return extract_turns(df, include_b64=not args.no_text_b64)
 
+    def raw_ex(df):
+        # T3 raw passthrough (export_ledger_transaction.go analog): the
+        # undecoded envelope, base64-encoded — no projection logic to drift
+        import pyspark.sql.functions as F
+
+        return df.select(
+            "conv_id",
+            "turn_idx",
+            F.base64(F.col("text").cast("binary")).alias("raw_b64"),
+            "ts",
+        )
+
+    def dedup_ex(df):
+        # A2 first-seen dedup (export_assets.go analog): the first turn of
+        # each conversation, watermark-bounded streaming state
+        from stellar_etl_spark.operators.dedup import streaming_first_seen_dedup
+
+        return streaming_first_seen_dedup(df, ["conv_id"], args.watermark)
+
     raw_extractors = {
         "export_turns": turns_ex,
+        "export_raw": raw_ex,
         "export_units": extract_units,
         "export_effects": extract_effects,
         "export_timeline": extract_timeline,
@@ -213,6 +237,8 @@ def main(argv: list[str] | None = None) -> int:
 
     extractors = {
         "export_turns": (wrap(turns_ex), ("conv_id", "turn_idx")),
+        "export_raw": (wrap(raw_ex), ("conv_id", "turn_idx")),
+        "export_dedup": (wrap(dedup_ex), ("conv_id",)),
         # streaming conversation summaries must be windowed (a global
         # non-windowed agg cannot emit in append mode)
         "export_conversations": (

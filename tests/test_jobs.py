@@ -154,3 +154,34 @@ def test_lenient_cli_routes_rejected(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="unsupported"):
         jobs.main(["export_pairs", "--lenient", "--source", src,
                    "--sink", str(tmp_path / "p"), "--checkpoint", str(tmp_path / "ck2")])
+
+
+def test_export_raw_and_dedup_cli(spark, tmp_path, capsys):
+    """T3 raw envelope + A2 first-seen dedup commands (the reference's
+    export_ledger_transaction / export_assets CLI analogs)."""
+    import base64
+
+    src = str(tmp_path / "src")
+    jobs.main(["generate", "--out", src, "--n-convs", "12"])
+    gen = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    jobs.main(["export_raw", "--source", src,
+               "--sink", str(tmp_path / "raw"), "--checkpoint", str(tmp_path / "ckr")])
+    capsys.readouterr()
+    raw = spark.read.option("basePath", str(tmp_path / "raw")).parquet(
+        str(tmp_path / "raw") + "/epoch=*"
+    )
+    assert raw.count() == gen["written"]
+    assert set(raw.columns) == {"conv_id", "turn_idx", "raw_b64", "ts", "epoch"}
+    sample = raw.where("raw_b64 IS NOT NULL").first()
+    base64.b64decode(sample["raw_b64"])  # round-trippable envelope
+
+    jobs.main(["export_dedup", "--source", src,
+               "--sink", str(tmp_path / "dedup"), "--checkpoint", str(tmp_path / "ckd")])
+    capsys.readouterr()
+    from stellar_etl_spark.streaming.sink import IdempotentSink
+
+    dd = IdempotentSink.from_meta(str(tmp_path / "dedup")).read_sink(spark)
+    # exactly one first-seen row per conversation
+    assert dd.count() == 12
+    assert dd.select("conv_id").distinct().count() == 12
