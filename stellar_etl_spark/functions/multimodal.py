@@ -5,10 +5,14 @@ The Spark-side architecture is fully real — schema, partition-preserving
 iterator transform, bounded batch memory (rows stream through
 ``mapInPandas`` an Arrow batch at a time; a 100 TB blob column never
 materializes per-task beyond ``spark.sql.execution.arrow.maxRecordsPerBatch``
-rows). Only the codec innards are stubbed: this container has no image/audio
-libraries, so decode is a deterministic fake (content-hash-derived features)
-behind ``decoder=`` injection — swap in PIL/torchaudio by passing a real
-decoder; everything else is unchanged.
+rows).
+
+Decode is REAL for image headers: :func:`parse_image_header` reads PNG IHDR
+and JPEG SOF dimensions from the magic bytes (pure python, no codec libs).
+Payloads it doesn't recognize — and all audio/video — fall back to the
+deterministic content-hash fake, behind the same ``decoder=`` injection
+point (swap in PIL/torchaudio for full decode; everything else is
+unchanged). The ``codec`` output column says which path fired.
 """
 
 from __future__ import annotations
@@ -48,15 +52,60 @@ FEATURES_SCHEMA = StructType(
         StructField("height", IntegerType(), True),
         StructField("duration_sec", DoubleType(), True),
         StructField("feat_hash", StringType(), True),
+        StructField("codec", StringType(), True),  # png | jpeg | fake
     ]
 )
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# SOF0-SOF15 markers that carry frame dimensions (C4/C8/CC are
+# huffman/arithmetic tables, not frames)
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """Real (pure-python) image header parse: (format, width, height) from
+    the magic bytes, or None if the payload is not a recognized image.
+
+    - PNG: 8-byte signature, then the IHDR chunk — width/height are the two
+      big-endian u32 at bytes 16..24 (the IHDR chunk is required first).
+    - JPEG: walk the marker segments from SOI until a start-of-frame marker;
+      height/width are the big-endian u16 at SOF offset +5/+7.
+    """
+    if payload[:8] == _PNG_MAGIC:
+        if len(payload) < 24 or payload[12:16] != b"IHDR":
+            return None
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return ("png", w, h)
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 9 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker in _JPEG_SOF_MARKERS:
+                h = int.from_bytes(payload[pos + 5 : pos + 7], "big")
+                w = int.from_bytes(payload[pos + 7 : pos + 9], "big")
+                return ("jpeg", w, h)
+            if marker == 0xD9:  # EOI before any frame
+                return None
+            seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+            if seg_len < 2:
+                return None
+            pos += 2 + seg_len
+        return None
+    return None
+
 
 def _fake_decode(kind: str, payload: bytes | None) -> dict:
-    """Deterministic stand-in for the real codec: derives plausible metadata
-    from a content hash. Replace via ``decoder=`` with e.g. PIL.Image.open."""
+    """Deterministic stand-in for an opaque codec: derives plausible metadata
+    from a content hash (the fallback for payloads the header parser doesn't
+    recognize, and for all audio/video)."""
     if payload is None:
-        return {"width": None, "height": None, "duration_sec": None, "feat_hash": None}
+        return {
+            "width": None, "height": None, "duration_sec": None,
+            "feat_hash": None, "codec": None,
+        }
     h = hashlib.sha256(payload).digest()
     if kind == "image":
         return {
@@ -64,6 +113,7 @@ def _fake_decode(kind: str, payload: bytes | None) -> dict:
             "height": 64 + h[1] % 192,
             "duration_sec": None,
             "feat_hash": h.hex()[:16],
+            "codec": "fake",
         }
     return {
         "width": None,
@@ -73,12 +123,33 @@ def _fake_decode(kind: str, payload: bytes | None) -> dict:
         # media_features registry query mirrors this formula bit-for-bit
         "duration_sec": (50 + int.from_bytes(h[2:4], "big") % 6000) / 100.0,
         "feat_hash": h.hex()[:16],
+        "codec": "fake",
     }
+
+
+def header_decode(kind: str, payload: bytes | None) -> dict:
+    """Default decoder: REAL PNG/JPEG header parse for image payloads, fake
+    fallback otherwise. The fingerprint for parsed images hashes the HEX
+    encoding of the bytes (sha256 over raw bytes is not computable by every
+    SQL engine — DuckDB's sha256 is VARCHAR-only — and the oracle must be
+    able to recompute the identical value)."""
+    if kind == "image" and payload is not None:
+        parsed = parse_image_header(bytes(payload))
+        if parsed is not None:
+            fmt, w, h = parsed
+            return {
+                "width": w,
+                "height": h,
+                "duration_sec": None,
+                "feat_hash": hashlib.sha256(bytes(payload).hex().encode()).hexdigest()[:16],
+                "codec": fmt,
+            }
+    return _fake_decode(kind, payload)
 
 
 def extract_media_features(
     df: DataFrame,
-    decoder: Callable[[str, bytes | None], dict] = _fake_decode,
+    decoder: Callable[[str, bytes | None], dict] = header_decode,
 ) -> DataFrame:
     """Decode/feature-extract the binary column via ``mapInPandas``.
 

@@ -1020,15 +1020,34 @@ WHERE list_dot_product(a.vec, b.vec)
 
 # --- multimodal plumbing: binary column -> mapInPandas feature extraction ---
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque-binary decode path end-to-end: documents.text as the payload
-    bytes, kind switched on doc_id, features out of the Arrow-batched
-    mapInPandas decoder. The decoder is the deterministic content-hash fake
-    (no codec libs in this sandbox) — which is exactly what makes the FULL
-    pipeline (binary column, batch iteration, per-kind switch, schema) hash-
-    checkable against SQL; swap a real codec in via ``decoder=`` unchanged."""
+    """Opaque-binary decode path end-to-end, REAL parser included: image
+    rows carry genuine PNG / JPEG byte streams (magic + IHDR / SOF headers,
+    dimensions derived from doc_id), synthesized as hex and unhexed into the
+    binary column; audio/video rows carry documents.text bytes. The default
+    decoder header-parses the real image bytes — the oracle recomputes the
+    expected width/height from doc_id independently, so a broken parser
+    hash-mismatches. Audio/video go through the deterministic content-hash
+    fallback (no AV codec libs in this sandbox; swap one in via
+    ``decoder=``)."""
     from stellar_etl_spark.functions.multimodal import extract_media_features
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_img = F.pmod(F.col("doc_id"), F.lit(3)) == 0
+    w = (F.lit(16) + F.pmod(F.col("doc_id"), F.lit(512))).cast("int")
+    h = (F.lit(16) + F.pmod(F.floor(F.col("doc_id") / F.lit(7)), F.lit(512))).cast("int")
+    hex8 = lambda c: F.lpad(F.lower(F.hex(c)), 8, "0")  # noqa: E731
+    hex4 = lambda c: F.lpad(F.lower(F.hex(c)), 4, "0")  # noqa: E731
+    png_hex = F.concat(
+        F.lit("89504e470d0a1a0a0000000d49484452"), hex8(w), hex8(h), F.lit("0806000000")
+    )
+    jpeg_hex = F.concat(
+        F.lit("ffd8ffc0001108"), hex4(h), hex4(w), F.lit("03011100021101031101ffd9")
+    )
+    payload = (
+        F.when(is_img & (F.pmod(F.col("doc_id"), F.lit(2)) == 0), F.unhex(png_hex))
+        .when(is_img, F.unhex(jpeg_hex))
+        .otherwise(F.col("text").cast("binary"))
+    )
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(
@@ -1036,8 +1055,8 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
         ).alias("kind"),
         F.lit("application/octet-stream").alias("mime"),
-        F.col("text").cast("binary").alias("payload"),
-        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
     )
     return extract_media_features(media)
 
@@ -1046,21 +1065,38 @@ SQL_MEDIA_FEATURES = """
 WITH m AS (
   SELECT doc_id AS media_id,
     CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-    text,
-    sha256(text) AS h
+    doc_id, text, sha256(text) AS h,
+    16 + doc_id % 512 AS w,
+    16 + (doc_id // 7) % 512 AS ht
   FROM documents
+),
+m2 AS (
+  SELECT *,
+    CASE WHEN kind = 'image' AND doc_id % 2 = 0
+         THEN '89504e470d0a1a0a0000000d49484452'
+              || lpad(lower(to_hex(w)), 8, '0') || lpad(lower(to_hex(ht)), 8, '0')
+              || '0806000000'
+         WHEN kind = 'image'
+         THEN 'ffd8ffc0001108'
+              || lpad(lower(to_hex(ht)), 4, '0') || lpad(lower(to_hex(w)), 4, '0')
+              || '03011100021101031101ffd9'
+    END AS img_hex
+  FROM m
 )
 SELECT media_id, kind,
-  CAST(strlen(text) AS BIGINT) AS n_bytes,
-  CASE WHEN text IS NOT NULL AND kind = 'image'
-       THEN CAST(64 + ('0x' || substr(h, 1, 2))::INTEGER % 192 AS INTEGER) END AS width,
-  CASE WHEN text IS NOT NULL AND kind = 'image'
-       THEN CAST(64 + ('0x' || substr(h, 3, 2))::INTEGER % 192 AS INTEGER) END AS height,
+  CASE WHEN kind = 'image' THEN CAST(octet_length(from_hex(img_hex)) AS BIGINT)
+       ELSE CAST(strlen(text) AS BIGINT) END AS n_bytes,
+  CASE WHEN kind = 'image' THEN CAST(w AS INTEGER) END AS width,
+  CASE WHEN kind = 'image' THEN CAST(ht AS INTEGER) END AS height,
   CASE WHEN text IS NOT NULL AND kind <> 'image'
        THEN CAST(50 + ('0x' || substr(h, 5, 4))::INTEGER % 6000 AS DOUBLE) / 100.0
        END AS duration_sec,
-  CASE WHEN text IS NOT NULL THEN substr(h, 1, 16) END AS feat_hash
-FROM m
+  CASE WHEN kind = 'image' THEN substr(sha256(img_hex), 1, 16)
+       WHEN text IS NOT NULL THEN substr(h, 1, 16) END AS feat_hash,
+  CASE WHEN kind = 'image' AND doc_id % 2 = 0 THEN 'png'
+       WHEN kind = 'image' THEN 'jpeg'
+       WHEN text IS NOT NULL THEN 'fake' END AS codec
+FROM m2
 """
 
 

@@ -136,3 +136,50 @@ def test_crc16_batch_matches_scalar():
     rows = [bytes(rng.randint(0, 256, rng.randint(0, 64)).astype("uint8")) for _ in range(300)]
     rows += [b"", b"\x00", b"\xff" * 63]
     assert [int(x) for x in _crc16_batch(rows)] == [_crc16_xmodem(r) for r in rows]
+
+
+def test_parse_image_header_real_formats(spark):
+    """The real header parser reads PNG IHDR and JPEG SOF dimensions from
+    hand-built byte streams (incl. a JPEG whose SOF sits behind an APP0
+    segment, exercising the marker walk), refuses corrupt payloads, and the
+    mapInPandas pipeline reports which codec fired."""
+    import struct
+
+    from stellar_etl_spark.functions.multimodal import (
+        extract_media_features,
+        header_decode,
+        parse_image_header,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00"
+    )
+    assert parse_image_header(png) == ("png", 640, 480)
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 720, 1280) \
+        + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    assert parse_image_header(jpeg) == ("jpeg", 1280, 720)
+
+    # corrupt / truncated / non-image payloads fall back to the fake decoder
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n1234") is None
+    assert parse_image_header(b"\xff\xd8\xff\xd9") is None  # EOI before SOF
+    assert parse_image_header(b"plain text") is None
+    assert header_decode("image", b"plain text")["codec"] == "fake"
+    assert header_decode("image", png)["codec"] == "png"
+    assert header_decode("audio", png)["codec"] == "fake"  # kind gates parse
+
+    # end-to-end through the Arrow pipeline
+    df = spark.createDataFrame(
+        [(1, "image", None, bytearray(png), len(png)),
+         (2, "image", None, bytearray(jpeg), len(jpeg)),
+         (3, "image", None, bytearray(b"junk"), 4)],
+        "media_id long, kind string, mime string, payload binary, n_bytes long",
+    )
+    rows = {r["media_id"]: r for r in extract_media_features(df).collect()}
+    assert (rows[1]["codec"], rows[1]["width"], rows[1]["height"]) == ("png", 640, 480)
+    assert (rows[2]["codec"], rows[2]["width"], rows[2]["height"]) == ("jpeg", 1280, 720)
+    assert rows[3]["codec"] == "fake"
