@@ -15,6 +15,14 @@ Per level we run a cluster warm-up, then the job twice, keeping the warm
 (second) run — JIT/codegen warm-up is a per-JVM constant that a long-running
 streaming cluster pays once, not per window.
 
+Noise protocol (this box is a shared VM; identical runs differ up to 10x in
+congested windows): a QUIET-WINDOW GATE (turns-only 16-core probe; quiet =
+>= SPARK_GRAFT_QUIET_THRESHOLD turns/s, default 400k) runs before each rep
+pair and retries with a 60 s backoff; reps are INTERLEAVED (N, 4N, N, 4N...)
+so a load spike hits both levels instead of biasing one; best-of across reps
+is kept per metric (compute and stream independently). All rep values and
+probe readings land in BENCH/BASELINE.md.
+
 Output: one JSON line + BENCH/BASELINE.md. Streaming-path throughput
 (exactly-once sink, checkpoint, lineage) is reported per level as a secondary
 row; its absolute numbers carry single-box artifacts (one shared disk, one
@@ -96,6 +104,37 @@ _sh.rmtree(tmp, ignore_errors=True)
 '''
 
 
+_PROBE_CODE = '''
+import time, os, json
+from stellar_etl_spark.session import get_spark
+from stellar_etl_spark.generator import read_transcripts
+from stellar_etl_spark.operators import extract_turns
+spark = get_spark("quiet-probe", cores=16)
+src = read_transcripts(spark, os.environ["SRC"])
+extract_turns(src).write.format("noop").mode("overwrite").save()  # warm JIT
+n = src.count()
+t0 = time.time()
+extract_turns(src).write.format("noop").mode("overwrite").save()
+print("PROBE " + json.dumps({"turns_per_sec": round(n / (time.time() - t0), 1)}))
+spark.stop()
+'''
+
+
+def quiet_probe() -> float:
+    """Turns-only 16-core throughput probe — the round-3 quietness signal
+    (>400k turns/s warm when the box is quiet, <100k when congested)."""
+    env = {k: v for k, v in os.environ.items() if k != "SPARK_GRAFT_MASTER"}
+    env["SRC"] = SRC
+    cmd = [sys.executable, "-c", _PROBE_CODE]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", "0-15"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=600, cwd=_HERE)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("PROBE ")]
+    if not lines:
+        raise RuntimeError(f"probe failed: {out.stderr[-500:]}")
+    return json.loads(lines[-1][len("PROBE "):])["turns_per_sec"]
+
+
 def pregenerate() -> None:
     code = f"""
 from stellar_etl_spark.session import get_spark
@@ -137,11 +176,35 @@ def main() -> None:
     if not (os.environ.get("SPARK_GRAFT_SCALE_REUSE_SRC") == "1" and os.path.isdir(SRC)):
         pregenerate()
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
-    lo_runs = [run_level(N) for _ in range(reps)]
-    hi_runs = [run_level(4 * N) for _ in range(reps)]
+    threshold = float(os.environ.get("SPARK_GRAFT_QUIET_THRESHOLD", "400000"))
+    retries = int(os.environ.get("SPARK_GRAFT_QUIET_RETRIES", "3"))
+    probes: list[float] = []
+
+    def quiet_gate() -> float:
+        v = 0.0
+        for attempt in range(retries):
+            v = quiet_probe()
+            probes.append(v)
+            print(json.dumps({"probe_turns_per_sec": v, "quiet": v >= threshold}))
+            if v >= threshold:
+                return v
+            time.sleep(60)
+        return v  # proceed anyway; the probe readings are published
+
+    # INTERLEAVED reps: a load spike on this shared VM hits both levels
+    # instead of biasing whichever level ran during it
+    lo_runs, hi_runs = [], []
+    for _ in range(reps):
+        quiet_gate()
+        lo_runs.append(run_level(N))
+        hi_runs.append(run_level(4 * N))
+    # best-of per metric, independently — the best compute rep and the best
+    # stream rep need not be the same run
+    lo_c = max(lo_runs, key=lambda r: r["compute_turns_per_sec"])
+    hi_c = max(hi_runs, key=lambda r: r["compute_turns_per_sec"])
     lo = max(lo_runs, key=lambda r: r["stream_turns_per_sec"])
     hi = max(hi_runs, key=lambda r: r["stream_turns_per_sec"])
-    tl, th = lo["compute_turns_per_sec"], hi["compute_turns_per_sec"]
+    tl, th = lo_c["compute_turns_per_sec"], hi_c["compute_turns_per_sec"]
     eff = th / (4 * tl)
     sl, sh = lo["stream_turns_per_sec"], hi["stream_turns_per_sec"]
     seff = sh / (4 * sl)
@@ -162,6 +225,10 @@ def main() -> None:
         "n_turns": lo["n_turns"],
         "all_runs_n": [r["compute_turns_per_sec"] for r in lo_runs],
         "all_runs_4n": [r["compute_turns_per_sec"] for r in hi_runs],
+        "all_stream_n": [r["stream_turns_per_sec"] for r in lo_runs],
+        "all_stream_4n": [r["stream_turns_per_sec"] for r in hi_runs],
+        "quiet_probes": probes,
+        "quiet_threshold": threshold,
     }
     print(json.dumps(result))
 
@@ -182,6 +249,11 @@ single JVM hits GC/allocation contention real clusters don't have).
 Per level: cluster warm-up, then the job twice — warm (second) run reported,
 since a long-running streaming cluster pays JIT once, not per window.
 
+Noise protocol: quiet-window gate (turns-only 16-core probe, quiet >=
+{int(result['quiet_threshold']):,} turns/s, 60 s backoff) before each rep pair; reps
+INTERLEAVED (N, 4N, N, 4N, ...); best-of across reps kept per metric.
+Probe readings this run: {[f'{p:,.0f}' for p in probes]}.
+
 ## PRIMARY: end-to-end streaming export scaling ({k_lo} vs {k_hi} executors)
 
 The north-rule job — read stream -> 3 extractors -> exactly-once epoch sink
@@ -199,12 +271,13 @@ with checkpoint + lineage:
 
 | executors | turns/sec (warm) | wall (s) | cold-run wall (s) |
 |---|---|---|---|
-| {k_lo} x {EXEC_CORES} cores | {tl:,.1f} | {lo['compute_warm_sec']} | {lo['compute_cold_sec']} |
-| {k_hi} x {EXEC_CORES} cores | {th:,.1f} | {hi['compute_warm_sec']} | {hi['compute_cold_sec']} |
+| {k_lo} x {EXEC_CORES} cores | {tl:,.1f} | {lo_c['compute_warm_sec']} | {lo_c['compute_cold_sec']} |
+| {k_hi} x {EXEC_CORES} cores | {th:,.1f} | {hi_c['compute_warm_sec']} | {hi_c['compute_cold_sec']} |
 
-Compute-only efficiency = {eff:.3f}. Per-level reps (compute turns/sec, best
-stream run kept; shared-VM noise between identical runs observed up to 10x):
-N={result['all_runs_n']}, 4N={result['all_runs_4n']}.
+Compute-only efficiency = {eff:.3f} (best compute rep per level,
+independently of the stream best-of). All interleaved reps:
+compute N={result['all_runs_n']}, 4N={result['all_runs_4n']};
+stream N={result['all_stream_n']}, 4N={result['all_stream_4n']}.
 
 ## Streaming export detail
 

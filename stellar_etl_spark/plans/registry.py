@@ -591,6 +591,14 @@ def _run_streaming_query(
         run_export(spark, src, extractor, sink, f"{work}/ckpt", max_files_per_trigger=1)
         out = sink.read_sink(spark).where(F.col(drop_flush_on) != "flush")
         rows = out.collect()
+        # driver-side collect is fine ONLY at this harness's sf0.01
+        # driver-check scale (the temp dirs force materialization before
+        # cleanup). The cap makes sure a copy-paste into a big-sf context
+        # fails loudly instead of OOMing the driver.
+        assert len(rows) < 1_000_000, (
+            f"streaming harness collected {len(rows)} rows — this driver-side "
+            "path is for small-sf correctness checks; use the sink directly"
+        )
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
