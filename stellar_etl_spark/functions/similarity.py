@@ -332,6 +332,84 @@ def planes_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer partitions the corpus into
+    ``n_lists`` inverted lists; each query scores only the vectors in its
+    ``n_probe`` nearest lists. The quantizer is K deterministic MEDOIDS —
+    the corpus vectors with the smallest md5(seed:id) — rather than k-means
+    centroids, so BOTH engines (and any replay) reproduce the identical
+    index with zero training state.
+
+    Scale shape mirrors :func:`lsh_topk`'s fixed version: the medoid table
+    (n_lists rows) broadcasts; corpus assignment is a narrow broadcast-join
+    + per-id argmin (one shuffle on the id, no all-pairs); the inverted-list
+    join carries (id, list_id) ONLY — every corpus vector is in exactly one
+    list, so candidates are duplicate-free by construction and vectors
+    rejoin once for scoring. Expected candidate work per query:
+    ``n_probe / n_lists`` of the corpus.
+
+    Recall comes from probing multiple lists (near-boundary neighbors live
+    in adjacent cells); measured numbers alongside the LSH grid in
+    BENCH/BASELINE.md."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qvec")
+    )
+    med = (
+        c.withColumn(
+            "_r", F.md5(F.concat(F.lit(f"{seed}:"), F.col("neighbor_id").cast("string")))
+        )
+        .orderBy("_r", "neighbor_id")
+        .limit(n_lists)
+        .select(F.col("neighbor_id").alias("list_id"), F.col("cvec").alias("mvec"))
+    )
+
+    def nearest_lists(df: DataFrame, idc: str, vc: str, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(med)).select(
+            idc, "list_id", F.round(cosine(F.col(vc), F.col("mvec")), 6).alias("msim")
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("msim"), F.asc("list_id"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n)
+            .select(idc, "list_id")
+        )
+
+    c_lists = nearest_lists(c, "neighbor_id", "cvec", 1)  # one list per vector
+    q_lists = nearest_lists(q, "query_id", "qvec", n_probe)
+    candidates = (
+        c_lists.join(F.broadcast(q_lists), "list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    scored = (
+        candidates.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
 def lsh_topk_portable(
     corpus: DataFrame,
     queries: DataFrame,

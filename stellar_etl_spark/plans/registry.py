@@ -1600,6 +1600,64 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "neighbor_id")
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN over deterministic medoid lists (similarity.py:ivf_topk)
+    — the oracle rebuilds the SAME index relationally (medoid pick by
+    md5(seed:id), per-vector argmin assignment, n_probe query lists,
+    candidate scoring, rank), so the whole index construction and probe path
+    are hash-checked."""
+    from stellar_etl_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_lists=16, n_probe=4)
+    return out.select("query_id", "rank", "neighbor_id")
+
+
+_SQL_COS = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b})) + 1e-12), 6)"
+)
+
+SQL_ANN_IVF_TOPK = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+med AS (
+  SELECT vec_id AS list_id, vec AS mvec
+  FROM v ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+cass AS (
+  SELECT neighbor_id, list_id FROM (
+    SELECT a.vec_id AS neighbor_id, m.list_id,
+      row_number() OVER (PARTITION BY a.vec_id
+        ORDER BY {_SQL_COS.format(a='a.vec', b='m.mvec')} DESC, m.list_id) AS rn
+    FROM v a CROSS JOIN med m
+  ) WHERE rn = 1
+),
+qass AS (
+  SELECT query_id, list_id FROM (
+    SELECT qv.vec_id AS query_id, m.list_id,
+      row_number() OVER (PARTITION BY qv.vec_id
+        ORDER BY {_SQL_COS.format(a='qv.vec', b='m.mvec')} DESC, m.list_id) AS rn
+    FROM v qv CROSS JOIN med m WHERE qv.vec_id < 5
+  ) WHERE rn <= 4
+),
+s AS (
+  SELECT q.query_id, c.neighbor_id,
+    {_SQL_COS.format(a='qvec.vec', b='cvec.vec')} AS sim
+  FROM cass c
+  JOIN qass q USING (list_id)
+  JOIN v cvec ON cvec.vec_id = c.neighbor_id
+  JOIN v qvec ON qvec.vec_id = q.query_id
+  WHERE c.neighbor_id <> q.query_id
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s
+)
+WHERE rank <= 10
+"""
+
+
 def _sql_lsh_topk_portable(
     dim: int = 64, bits: int = 8, seed: int = 42, k: int = 10, probe_hamming: int = 1
 ) -> str:
@@ -1868,6 +1926,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "strkey_handles": (q_strkey_handles, SQL_STRKEY_HANDLES),
     "doc_simhash_pairs": (q_doc_simhash_pairs, SQL_DOC_SIMHASH_PAIRS),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
 }
 
 

@@ -161,3 +161,40 @@ def test_lsh_topk_multitable_amplifies_recall(spark):
         for r in lsh_topk(emb, q, dim=16, k=5, bits=4, probe_hamming=1, tables=8).collect()
     }
     assert len(want & got) / len(want) >= 0.9
+
+
+def test_ivf_topk_full_probe_is_exact_and_partial_probe_approximates(spark):
+    """With n_probe == n_lists the probed lists cover the whole corpus, so
+    IVF must equal the brute force exactly; with a partial probe it returns
+    a subset-ranked approximation whose hits all appear in the exact top-k
+    order. The planted near-duplicate must survive even a 1-probe search
+    (it shares its twin's list by construction of the quantizer)."""
+    import numpy as np
+
+    from stellar_etl_spark.functions.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(60, 16).astype("float32")
+    base[1] = base[0] + rng.randn(16).astype("float32") * 0.01
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where("vec_id < 4")
+
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk(emb, q, k=5).where("rank = 1").collect()
+    }
+    full = ivf_topk(emb, q, k=5, n_lists=8, n_probe=8)
+    got_full = sorted(map(tuple, full.select("query_id", "rank", "neighbor_id").collect()))
+    want = sorted(
+        map(tuple, cosine_topk(emb, q, k=5).select("query_id", "rank", "neighbor_id").collect())
+    )
+    assert got_full == want
+
+    partial = ivf_topk(emb, q, k=5, n_lists=8, n_probe=2)
+    rows_p = partial.collect()
+    assert rows_p, "partial probe returned nothing"
+    # the planted twin of query 0 ranks first even at n_probe=1
+    one = ivf_topk(emb, emb.where("vec_id = 0"), k=5, n_lists=8, n_probe=1).orderBy("rank").collect()
+    assert one and one[0]["neighbor_id"] == 1
+    assert exact[0] == 1
