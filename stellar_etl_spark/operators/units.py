@@ -117,8 +117,11 @@ UNIT_ARMS: list[UnitArm] = [
         "tool = 'fetch'", "CAST(strlen(payload) AS VARCHAR)",
     ),
     UnitArm(
+        # tool payloads are the whitespace-rejoined token array, so the
+        # already-split `toks` column IS the payload's token list — no
+        # re-split (measured: re-tokenizing every unit row dominates)
         "n_unique_tokens", "tool", _tool_is("browse"),
-        lambda p: F.size(F.array_distinct(textfn.tokens(p))).cast("string"),
+        lambda p: F.size(F.array_distinct(F.col("toks"))).cast("string"),
         "tool = 'browse'",
         "CAST(CASE WHEN trim(payload) = '' THEN 0 "
         "ELSE len(list_distinct(regexp_split_to_array(trim(payload), '\\s+'))) END AS VARCHAR)",
@@ -287,20 +290,25 @@ for _a in UNIT_ARMS:
         DETAIL_KEYS.append(_a.key)
 
 
-def _arm_entry(arm: UnitArm) -> Column:
-    base = F.col("is_tool") if arm.unit == "tool" else ~F.col("is_tool")
-    cond = base if arm.spark_cond is None else base & arm.spark_cond()
-    p = F.col("payload")
-    return F.when(cond, F.create_map(F.lit(arm.key), arm.spark_val(p))).otherwise(
-        F.create_map().cast("map<string,string>")
-    )
-
-
 def details_map() -> Column:
-    """The per-type details switch (operation.go:584-1184) as ONE map column,
-    generated from UNIT_ARMS — map_concat of the arm entries (conditions
-    within a family are exclusive, so no key collides at runtime)."""
-    return F.map_concat(*[_arm_entry(a) for a in UNIT_ARMS])
+    """The per-type details switch (operation.go:584-1184) as ONE map column.
+
+    Construction matters enormously at scale: the obvious
+    ``map_concat(when(cond, create_map(k, v)).otherwise(empty), ...)`` builds
+    28 map objects + 27 concat merges PER ROW and measured 218 s for the
+    8.5M-turn units explode at 16 cores. This form computes one CASE chain
+    per key (same expressions as :func:`detail_columns`) and builds ONE map,
+    dropping the null (non-firing) keys with ``map_filter`` — 68 s on the
+    same input, identical map contents (conditions within a family are
+    exclusive, so no key ever collides)."""
+    cols = detail_columns()
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in DETAIL_KEYS]),
+            F.array(*[c for c in cols]),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
 
 
 def detail_columns() -> list[Column]:
@@ -362,12 +370,28 @@ def units_base(
             F.slice(F.col("toks"), F.col("unit_idx") * span_tokens + 1, span_tokens), " "
         )
     )
+    # span token count is pure arithmetic on the ALREADY-SPLIT token array
+    # (payload is a join of toks / a slice of toks by construction) — never
+    # re-tokenize the payload string per unit row
+    ntok = F.when(
+        F.col("is_tool"), F.size(F.col("toks"))
+    ).otherwise(
+        F.greatest(
+            F.least(F.size(F.col("toks")) - F.col("unit_idx") * span_tokens, F.lit(span_tokens)),
+            F.lit(0),
+        )
+    )
     return (
         base.withColumn("payload", payload)
-        .withColumn("sig_sha256", sha256_hex(F.col("payload")))
+        # tool-only signals are GATED on is_tool: an unconditional signal
+        # column is computed for every span row too (project collapse binds
+        # it once per row), and sha256 over 20M span payloads is pure waste
+        .withColumn("sig_sha256", F.when(F.col("is_tool"), sha256_hex(F.col("payload"))))
         .withColumn("sig_digits", F.regexp_replace(F.col("payload"), "[^0-9]", ""))
-        .withColumn("sig_num", F.regexp_extract(F.col("payload"), "[0-9]+", 0))
-        .withColumn("sig_ntok", textfn.token_count(F.col("payload")))
+        .withColumn(
+            "sig_num", F.when(F.col("is_tool"), F.regexp_extract(F.col("payload"), "[0-9]+", 0))
+        )
+        .withColumn("sig_ntok", ntok)
         .withColumn("unit_id", toid_mod.toid(F.col("conv_seq"), "turn_idx", F.col("unit_idx")))
         .withColumn("turn_id", toid_mod.toid(F.col("conv_seq"), "turn_idx"))
         .withColumn(
