@@ -440,16 +440,18 @@ EFFECT_RULES: list[EffectRule] = [
         (_SQL_TOOL, ("sponsor", "CAST(sponsor_idx AS VARCHAR)")),
     ),
     EffectRule(
+        # "a prior system turn exists" ⟺ prev_system_idx IS NOT NULL — one
+        # window signal serves both transitions (no separate prior-count)
         43, "conv_sponsor_established", True,
-        lambda p: (F.col("role") == "system") & (F.col("_n_prior_system") == 0),
+        lambda p: (F.col("role") == "system") & F.col("_prev_system_idx").isNull(),
         (_TURN_IDX,),
-        "role = 'system' AND n_prior_system = 0", (_SQL_TURN_IDX,),
+        "role = 'system' AND prev_system_idx IS NULL", (_SQL_TURN_IDX,),
     ),
     EffectRule(
         44, "conv_sponsor_updated", True,
-        lambda p: (F.col("role") == "system") & (F.col("_n_prior_system") > 0),
+        lambda p: (F.col("role") == "system") & F.col("_prev_system_idx").isNotNull(),
         (("from", _s("_prev_system_idx")), ("to", _s("turn_idx"))),
-        "role = 'system' AND n_prior_system > 0",
+        "role = 'system' AND prev_system_idx IS NOT NULL",
         (("from", "CAST(prev_system_idx AS VARCHAR)"), ("to", "CAST(turn_idx AS VARCHAR)")),
     ),
     EffectRule(
@@ -614,7 +616,6 @@ def extract_effects_contextual(
         F.max(F.when(F.col("role") == "user", F.col("turn_idx")))
         .over(w_prior)
         .alias("_sponsor_idx"),
-        F.count(F.when(F.col("role") == "system", 1)).over(w_prior).alias("_n_prior_system"),
         F.max(F.when(F.col("role") == "system", F.col("turn_idx")))
         .over(w_prior)
         .alias("_prev_system_idx"),

@@ -355,7 +355,6 @@ ctxd AS (
     lag(coalesce(text, '')) OVER ({tw}) AS tool_prev_text,
     count(*) OVER (PARTITION BY conv_id, tool) AS tool_n_uses,
     max(turn_idx) FILTER (WHERE role = 'user') OVER ({prior}) AS sponsor_idx,
-    count(*) FILTER (WHERE role = 'system') OVER ({prior}) AS n_prior_system,
     max(turn_idx) FILTER (WHERE role = 'system') OVER ({prior}) AS prev_system_idx
   FROM succ
 ),
