@@ -558,6 +558,7 @@ def _run_streaming_query(
     extractor,
     keys: tuple[str, ...],
     drop_flush_on: str = "conv_id",
+    output_mode: str = "append",
 ) -> DataFrame:
     """Run a REAL streaming query over the transcripts view and return the
     merged sink contents — the oracle harness for the stateful operators.
@@ -587,7 +588,8 @@ def _run_streaming_query(
         sentinel.write.mode("append").parquet(src)
 
         sink = IdempotentSink(f"{work}/out", keys)
-        run_export(spark, src, extractor, sink, f"{work}/ckpt", max_files_per_trigger=1)
+        run_export(spark, src, extractor, sink, f"{work}/ckpt",
+                   max_files_per_trigger=1, output_mode=output_mode)
         out = sink.read_sink(spark).where(F.col(drop_flush_on) != "flush")
         rows = out.collect()
         # driver-side collect is fine ONLY at this harness's sf0.01
@@ -701,6 +703,40 @@ SELECT
   CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS DOUBLE) AS duration_sec
 FROM numbered
 GROUP BY conv_id, session_seq
+"""
+
+
+# --- streaming running conversation state (S11/T8/A6, driver-facing) ---------
+def q_streaming_conv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL cross-batch accumulating state path (S11 orderbook-stream
+    analog / A6): applyInPandasWithState in UPDATE mode through checkpoint +
+    exactly-once sink. Each micro-batch emits a running snapshot per
+    conversation; the sink's key-precedence merge (highest epoch wins) keeps
+    the LAST snapshot, which must equal the plain batch aggregation over all
+    turns — that equality is exactly what the oracle recomputes, so the
+    accumulator arithmetic, cross-batch state carry, and merge-on-read are
+    all hash-checked (this row previously had only a pytest equivalence)."""
+    from stellar_etl_spark.streaming.state import running_conversation_state
+
+    return _run_streaming_query(
+        spark,
+        transcripts_from_events(spark, sf_dir),
+        lambda s: running_conversation_state(s, "2 minutes"),
+        ("conv_id",),
+        output_mode="update",
+    )
+
+
+SQL_STREAMING_CONV_STATE = f"""{TRANSCRIPTS_CTE}
+SELECT
+  conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(count(*) FILTER (WHERE role = 'user') AS BIGINT) AS n_user,
+  CAST(max(turn_idx) AS INTEGER) AS max_turn_idx,
+  CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
+  max(ts) AS last_ts
+FROM transcripts
+GROUP BY conv_id
 """
 
 
@@ -1886,6 +1922,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "streaming_pairs": (q_streaming_pairs, SQL_STREAMING_PAIRS),
     "stream_join_pairs": (q_stream_join_pairs, SQL_STREAM_JOIN_PAIRS),
     "streaming_sessions": (q_streaming_sessions, SQL_STREAMING_SESSIONS),
+    "streaming_conv_state": (q_streaming_conv_state, SQL_STREAMING_CONV_STATE),
     "sessions": (q_sessions, SQL_SESSIONS),
     "first_turns": (q_first_turns, SQL_FIRST_TURNS),
     "last_state": (q_last_state, SQL_LAST_STATE),
