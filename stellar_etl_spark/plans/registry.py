@@ -88,6 +88,56 @@ FROM transcripts
 """
 
 
+# --- S12 GetAllHistory fan-out (driver-facing) -------------------------------
+def q_fanout_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL shared-scan fan-out path (S12, run_fanout_export): one
+    streaming scan feeds three extractor sinks per micro-batch; this query
+    returns the TURNS sink's merged content, which must equal the plain
+    batch turns projection (oracle = SQL_TURNS) — so the fan-out plumbing,
+    multi-sink epoch commit, and merge-on-read are driver-hash-checked
+    (previously pytest-only)."""
+    import shutil
+    import tempfile
+
+    from stellar_etl_spark.generator import write_transcripts
+    from stellar_etl_spark.operators import extract_effects, extract_units
+    from stellar_etl_spark.streaming.pipeline import run_fanout_export
+
+    work = tempfile.mkdtemp(prefix="fanout_q_")
+    try:
+        src = f"{work}/src"
+        write_transcripts(
+            transcripts_from_events(spark, sf_dir).coalesce(4), src, partition_by_day=False
+        )
+        # the written table carries only the TRANSCRIPTS schema; the
+        # SQL-reproducible conv_seq is recoverable from the conv_id format
+        # ('conv_%08d' of the same number)
+        seq = F.expr("CAST(substring(conv_id, 6) AS BIGINT)")
+        sinks = run_fanout_export(
+            spark,
+            src,
+            {
+                "turns": lambda df: extract_turns(df, conv_seq=seq),
+                "units": lambda df: extract_units(df, conv_seq=seq),
+                "effects": lambda df: extract_effects(df, conv_seq=seq),
+            },
+            f"{work}/out",
+            f"{work}/ck",
+            keys={
+                "turns": ("conv_id", "turn_idx"),
+                "units": ("conv_id", "turn_idx", "unit_idx"),
+                "effects": ("conv_id", "turn_idx", "effect_index"),
+            },
+            max_files_per_trigger=2,
+        )
+        out = sinks["turns"].read_sink(spark)
+        rows = out.collect()
+        assert len(rows) < 1_000_000, "fanout harness is for driver-check scale only"
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # --- T3 raw passthrough (TransformLedgerTransaction,
 # transform/ledger_transaction.go:13-58: raw envelope + minimal header) ------
 def q_turns_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1923,6 +1973,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_join_pairs": (q_stream_join_pairs, SQL_STREAM_JOIN_PAIRS),
     "streaming_sessions": (q_streaming_sessions, SQL_STREAMING_SESSIONS),
     "streaming_conv_state": (q_streaming_conv_state, SQL_STREAMING_CONV_STATE),
+    "fanout_turns": (q_fanout_turns, SQL_TURNS),
     "sessions": (q_sessions, SQL_SESSIONS),
     "first_turns": (q_first_turns, SQL_FIRST_TURNS),
     "last_state": (q_last_state, SQL_LAST_STATE),
