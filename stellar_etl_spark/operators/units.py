@@ -105,7 +105,7 @@ UNIT_ARMS: list[UnitArm] = [
     ),
     UnitArm(
         "n_digits", "tool", _tool_is("calc"),
-        lambda p: F.length(F.col("sig_digits")).cast("string"),
+        lambda p: F.col("sig_n_digits").cast("string"),
         "tool = 'calc'",
         "CAST(length(regexp_replace(payload, '[^0-9]', '', 'g')) AS VARCHAR)",
     ),
@@ -167,8 +167,8 @@ UNIT_ARMS: list[UnitArm] = [
         # (operation.go asset-type 3-way native/alphanum4/alphanum12):
         # classify the payload's value shape
         "value_type", "tool", None,
-        lambda p: F.when(F.length(F.col("sig_digits")) == 0, F.lit("none"))
-        .when(F.length(F.col("sig_digits")) <= 1, F.lit("short"))
+        lambda p: F.when(F.col("sig_n_digits") == 0, F.lit("none"))
+        .when(F.col("sig_n_digits") <= 1, F.lit("short"))
         .otherwise(F.lit("long")),
         None,
         "CASE WHEN length(regexp_replace(payload, '[^0-9]', '', 'g')) = 0 THEN 'none' "
@@ -219,7 +219,7 @@ UNIT_ARMS: list[UnitArm] = [
     ),
     UnitArm(
         "n_digits", "span", None,
-        lambda p: F.length(F.col("sig_digits")).cast("string"),
+        lambda p: F.col("sig_n_digits").cast("string"),
         None, "CAST(length(regexp_replace(payload, '[^0-9]', '', 'g')) AS VARCHAR)",
     ),
     UnitArm(
@@ -256,16 +256,23 @@ UNIT_ARMS: list[UnitArm] = [
         _IS_JSON,
         "CAST(CAST((length(payload) - length(replace(payload, '\":', ''))) / 2 AS INTEGER) AS VARCHAR)",
     ),
+    # '^[0-9 ]+$' as char ops: non-empty AND nothing survives stripping
+    # digits+space (equivalent semantics, one less regex in the hot path)
     UnitArm(
         "digits_only", "span",
-        lambda: ~F.startswith(F.col("payload"), F.lit("{")) & F.col("payload").rlike("^[0-9 ]+$"),
+        lambda: ~F.startswith(F.col("payload"), F.lit("{"))
+        & (F.col("payload") != "")
+        & (F.length(F.translate(F.col("payload"), "0123456789 ", "")) == 0),
         lambda p: F.lit("true"),
         _IS_DIGITS, "'true'",
     ),
     UnitArm(
         "n_urls", "span",
         lambda: ~F.startswith(F.col("payload"), F.lit("{"))
-        & ~F.col("payload").rlike("^[0-9 ]+$")
+        & ~(
+            (F.col("payload") != "")
+            & (F.length(F.translate(F.col("payload"), "0123456789 ", "")) == 0)
+        )
         & F.col("payload").contains("http"),
         lambda p: ((F.length(p) - F.length(F.replace(p, F.lit("http"), F.lit("")))) / 4)
         .cast("int")
@@ -275,8 +282,10 @@ UNIT_ARMS: list[UnitArm] = [
     ),
     # -- shape-independent span flag arms ------------------------------------
     UnitArm(
+        # first-char range compare == '^[A-Z]' (binary collation; empty
+        # payload yields '' which is outside the range)
         "starts_upper", "span",
-        lambda: F.col("payload").rlike("^[A-Z]"),
+        lambda: F.substring(F.col("payload"), 1, 1).between("A", "Z"),
         lambda p: F.lit("true"),
         "regexp_matches(payload, '^[A-Z]')", "'true'",
     ),
@@ -387,7 +396,15 @@ def units_base(
         # column is computed for every span row too (project collapse binds
         # it once per row), and sha256 over 20M span payloads is pure waste
         .withColumn("sig_sha256", F.when(F.col("is_tool"), sha256_hex(F.col("payload"))))
-        .withColumn("sig_digits", F.regexp_replace(F.col("payload"), "[^0-9]", ""))
+        # digit COUNT via translate (pure char map) — consumers only ever
+        # take the length, so the stripped string itself is never needed
+        # (A/B at 8.5M turns: regex strip and translate are within noise;
+        # the explode+payload materialization is the floor)
+        .withColumn(
+            "sig_n_digits",
+            F.length(F.col("payload"))
+            - F.length(F.translate(F.col("payload"), "0123456789", "")),
+        )
         .withColumn(
             "sig_num", F.when(F.col("is_tool"), F.regexp_extract(F.col("payload"), "[0-9]+", 0))
         )
