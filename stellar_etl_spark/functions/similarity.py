@@ -341,6 +341,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer partitions the corpus into
     ``n_lists`` inverted lists; each query scores only the vectors in its
@@ -359,7 +360,12 @@ def ivf_topk(
 
     Recall comes from probing multiple lists (near-boundary neighbors live
     in adjacent cells); measured numbers alongside the LSH grid in
-    BENCH/BASELINE.md."""
+    BENCH/BASELINE.md.
+
+    ``broadcast_queries`` follows :func:`lsh_topk`'s contract: True (default)
+    broadcasts the probe lists and query vectors — right for the sampled-
+    query top-k shape; pass False when queries ≈ corpus so the planner/AQE
+    picks a shuffle join instead of blowing the broadcast."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cvec")
     )
@@ -388,14 +394,15 @@ def ivf_topk(
 
     c_lists = nearest_lists(c, "neighbor_id", "cvec", 1)  # one list per vector
     q_lists = nearest_lists(q, "query_id", "qvec", n_probe)
+    q_side = F.broadcast(q_lists) if broadcast_queries else q_lists
     candidates = (
-        c_lists.join(F.broadcast(q_lists), "list_id")
+        c_lists.join(q_side, "list_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
     scored = (
         candidates.join(c, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
+        .join(F.broadcast(q) if broadcast_queries else q, "query_id")
         .select(
             "query_id",
             "neighbor_id",

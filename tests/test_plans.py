@@ -181,3 +181,24 @@ def test_sessions_shares_partitioning(tdf):
     # re-key on (conv_id, session_seq))
     plan = _plan(extract_sessions(tdf))
     assert plan.count("Exchange") <= 2
+
+
+def test_ivf_topk_join_variants(spark):
+    """IVF follows the same query-side contract as LSH: broadcast for the
+    sampled-query shape, shuffle join when the caller declares queries ~
+    corpus — and both strategies return identical rows."""
+    from stellar_etl_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bcast = ivf_topk(emb, qs, n_lists=8, n_probe=2, broadcast_queries=True)
+        assert "BroadcastHashJoin" in _plan(bcast)
+        shuf = ivf_topk(emb, qs, n_lists=8, n_probe=2, broadcast_queries=False)
+        # the medoid table (n_lists rows) still broadcasts for assignment;
+        # the candidate/query joins must not
+        assert sorted(map(tuple, bcast.collect())) == sorted(map(tuple, shuf.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

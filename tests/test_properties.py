@@ -164,3 +164,31 @@ def test_merge_on_read_idempotent_under_replay(spark, tmp_path_factory, epochs, 
             if cur is None or (i, v) > cur:
                 want[(k1, k2)] = (i, v)
     assert before == sorted((k1, k2, iv[1]) for (k1, k2), iv in want.items())
+
+
+@given(payload=st.binary(min_size=0, max_size=256))
+@settings(max_examples=300, deadline=None)
+def test_image_header_parser_total(payload):
+    """The header parser is TOTAL over arbitrary bytes: returns None or a
+    (format, w, h) triple, never raises — and the decode wrapper always
+    yields a full feature dict (a parser that throws on a truncated upload
+    would kill a whole Arrow batch in production)."""
+    from stellar_etl_spark.functions.multimodal import header_decode, parse_image_header
+
+    out = parse_image_header(payload)
+    assert out is None or (
+        out[0] in ("png", "jpeg") and isinstance(out[1], int) and isinstance(out[2], int)
+    )
+    d = header_decode("image", payload)
+    assert set(d) == {"width", "height", "duration_sec", "feat_hash", "codec"}
+
+
+@given(payload=st.binary(min_size=0, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_image_header_parser_prefix_totality(payload):
+    """Valid magic + arbitrary tail (the truncated/corrupt-upload shape)."""
+    from stellar_etl_spark.functions.multimodal import parse_image_header
+
+    for magic in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8"):
+        out = parse_image_header(magic + payload)
+        assert out is None or out[0] in ("png", "jpeg")
