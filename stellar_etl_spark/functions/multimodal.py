@@ -79,16 +79,27 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
         return ("png", w, h)
     if payload[:2] == b"\xff\xd8":
         pos = 2
-        while pos + 9 <= len(payload):
+        while pos + 2 <= len(payload):
             if payload[pos] != 0xFF:
+                return None
+            # any number of 0xFF fill bytes may precede a marker (B.1.1.2)
+            while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 2 > len(payload):
                 return None
             marker = payload[pos + 1]
             if marker in _JPEG_SOF_MARKERS:
+                if pos + 9 > len(payload):
+                    return None
                 h = int.from_bytes(payload[pos + 5 : pos + 7], "big")
                 w = int.from_bytes(payload[pos + 7 : pos + 9], "big")
                 return ("jpeg", w, h)
             if marker == 0xD9:  # EOI before any frame
                 return None
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                # TEM / RSTn are standalone — no length field follows
+                pos += 2
+                continue
             seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
             if seg_len < 2:
                 return None
@@ -158,13 +169,17 @@ def extract_media_features(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FEATURES_SCHEMA.fields]
         for pdf in batches:
             feats = [decoder(k, p) for k, p in zip(pdf["kind"], pdf["payload"])]
             out = pd.DataFrame(feats)
             out.insert(0, "media_id", pdf["media_id"].values)
             out.insert(1, "kind", pdf["kind"].values)
             out.insert(2, "n_bytes", pdf["n_bytes"].values)
-            yield out[[f.name for f in FEATURES_SCHEMA.fields]]
+            # reindex, not [] — a custom decoder written to the pre-codec
+            # contract ({width, height, duration_sec, feat_hash}) must keep
+            # working with codec = null, not KeyError the whole task
+            yield out.reindex(columns=cols)
 
     return df.mapInPandas(run, FEATURES_SCHEMA)
 

@@ -221,10 +221,20 @@ def main(argv: list[str] | None = None) -> int:
 
     def dedup_ex(df):
         # A2 first-seen dedup (export_assets.go analog): the first turn of
-        # each conversation, watermark-bounded streaming state
+        # each conversation, watermark-bounded streaming state. The state
+        # evicts once the watermark passes first-seen ts + delay, so a
+        # conversation resuming AFTER eviction re-emits into a later epoch —
+        # the sink must therefore merge EARLIEST-ts-wins, not
+        # latest-epoch-wins; first_seen_neg_ts gives that under the sink's
+        # descending order_cols precedence.
+        import pyspark.sql.functions as F
+
         from stellar_etl_spark.operators.dedup import streaming_first_seen_dedup
 
-        return streaming_first_seen_dedup(df, ["conv_id"], args.watermark)
+        out = streaming_first_seen_dedup(df, ["conv_id"], args.watermark)
+        return out.withColumn(
+            "first_seen_neg_ts", -F.unix_timestamp("ts").cast("long")
+        )
 
     raw_extractors = {
         "export_turns": turns_ex,
@@ -314,6 +324,16 @@ def main(argv: list[str] | None = None) -> int:
             keys,
             batch_transform=lambda df: compact_last_state(df, ["conv_id"]),
             order_cols=("ts", "turn_idx"),
+            output_partitions=out_parts,
+            fmt=args.format,
+        )
+    elif args.cmd == "export_dedup":
+        # first-seen semantics: the EARLIEST row per conversation must win
+        # the merge even when watermark eviction re-emits the key later
+        sink = IdempotentSink(
+            args.sink,
+            keys,
+            order_cols=("first_seen_neg_ts",),
             output_partitions=out_parts,
             fmt=args.format,
         )

@@ -413,14 +413,18 @@ EFFECT_RULES: list[EffectRule] = [
         (_SQL_TOOL, ("sponsor", "CAST(sponsor_idx AS VARCHAR)")),
     ),
     EffectRule(
+        # tool IS NOT NULL like 40/42: a NULL-tool row would share the
+        # (conv_id, tool=NULL) window with non-tool rows and read garbage
+        # lag context from them
         41, "tool_sponsor_updated", True,
         lambda p: (F.col("role") == "tool")
+        & F.col("tool").isNotNull()
         & F.col("_tool_prev_sponsor").isNotNull()
         & F.col("_sponsor_idx").isNotNull()
         & (F.col("_tool_prev_sponsor") != F.col("_sponsor_idx")),
         (_TOOL, ("from", _s("_tool_prev_sponsor")), ("to", _s("_sponsor_idx"))),
-        "role = 'tool' AND tool_prev_sponsor IS NOT NULL AND sponsor_idx IS NOT NULL "
-        "AND tool_prev_sponsor <> sponsor_idx",
+        "role = 'tool' AND tool IS NOT NULL AND tool_prev_sponsor IS NOT NULL "
+        "AND sponsor_idx IS NOT NULL AND tool_prev_sponsor <> sponsor_idx",
         (
             _SQL_TOOL,
             ("from", "CAST(tool_prev_sponsor AS VARCHAR)"),

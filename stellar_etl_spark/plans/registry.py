@@ -131,8 +131,9 @@ def q_fanout_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_files_per_trigger=2,
         )
         out = sinks["turns"].read_sink(spark)
-        rows = out.collect()
-        assert len(rows) < 1_000_000, "fanout harness is for driver-check scale only"
+        rows = out.limit(1_000_001).collect()  # bound BEFORE collecting
+        if len(rows) > 1_000_000:
+            raise RuntimeError("fanout harness is for driver-check scale only")
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -641,15 +642,16 @@ def _run_streaming_query(
         run_export(spark, src, extractor, sink, f"{work}/ckpt",
                    max_files_per_trigger=1, output_mode=output_mode)
         out = sink.read_sink(spark).where(F.col(drop_flush_on) != "flush")
-        rows = out.collect()
         # driver-side collect is fine ONLY at this harness's sf0.01
         # driver-check scale (the temp dirs force materialization before
-        # cleanup). The cap makes sure a copy-paste into a big-sf context
-        # fails loudly instead of OOMing the driver.
-        assert len(rows) < 1_000_000, (
-            f"streaming harness collected {len(rows)} rows — this driver-side "
-            "path is for small-sf correctness checks; use the sink directly"
-        )
+        # cleanup). The cap must run BEFORE the unbounded collect — the
+        # limit bounds driver memory even when the sink is huge.
+        rows = out.limit(1_000_001).collect()
+        if len(rows) > 1_000_000:
+            raise RuntimeError(
+                "streaming harness result exceeds 1M rows — this driver-side "
+                "path is for small-sf correctness checks; use the sink directly"
+            )
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -61,25 +61,29 @@ def key_precedence_dedup(
     parquet sink and the Iceberg MERGE sink semantically interchangeable
     (asserted by tests/test_streaming.py::test_merge_semantics_shared).
 
-    If every non-key column is unorderable (all maps), fall back to ordering
-    by the keys — constant within the partition, so the pick degenerates to
-    "any one row", which is correct only because full-map rows carry no
-    orderable distinguishing data; the Window still analyzes instead of
-    raising on an empty ORDER BY."""
-    tiebreak = sorted(
-        f.name
-        for f in df.schema.fields
-        if f.name not in keys
-        and f.name not in order_cols
-        and f.name != recency_col
-        and _orderable(f.dataType)
-    )
+    Columns Spark cannot ORDER BY (maps, or any type containing one) still
+    carry distinguishing data, so they participate through a to_json
+    canonicalization — a pure row function (map entry order is fixed by the
+    expression that built the map), so the tiebreak stays deterministic
+    under replay instead of degenerating to "whichever row the task saw
+    first"."""
+    orderable, unorderable = [], []
+    for f in df.schema.fields:
+        if f.name in keys or f.name in order_cols or f.name == recency_col:
+            continue
+        (orderable if _orderable(f.dataType) else unorderable).append(f.name)
     order = [F.col(c).desc() for c in order_cols]
     if recency_col is not None:
         order.append(F.col(recency_col).desc())
-    order += [F.col(c).desc_nulls_last() for c in tiebreak]
+    order += [F.col(c).desc_nulls_last() for c in sorted(orderable)]
+    if unorderable:
+        order.append(
+            F.to_json(F.struct(*[F.col(c) for c in sorted(unorderable)])).desc_nulls_last()
+        )
     if not order:
-        order = [F.col(k).asc() for k in keys]
+        # every column is a key: duplicates are identical rows, any pick is
+        # the same row — order by a key only so the Window analyzes
+        order = [F.col(keys[0]).asc()]
     w = Window.partitionBy(*keys).orderBy(*order)
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 

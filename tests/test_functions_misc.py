@@ -163,6 +163,10 @@ def test_parse_image_header_real_formats(spark):
         + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
     jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
     assert parse_image_header(jpeg) == ("jpeg", 1280, 720)
+    # legal variants: 0xFF fill bytes before a marker, standalone RST/TEM
+    # markers (no length field) — both must still reach the SOF
+    assert parse_image_header(b"\xff\xd8\xff" + app0 + sof0 + b"\xff\xd9") == ("jpeg", 1280, 720)
+    assert parse_image_header(b"\xff\xd8" + b"\xff\x01" + b"\xff\xd0" + sof0) == ("jpeg", 1280, 720)
 
     # corrupt / truncated / non-image payloads fall back to the fake decoder
     assert parse_image_header(b"\x89PNG\r\n\x1a\n1234") is None
@@ -183,3 +187,10 @@ def test_parse_image_header_real_formats(spark):
     assert (rows[1]["codec"], rows[1]["width"], rows[1]["height"]) == ("png", 640, 480)
     assert (rows[2]["codec"], rows[2]["width"], rows[2]["height"]) == ("jpeg", 1280, 720)
     assert rows[3]["codec"] == "fake"
+
+    # a LEGACY decoder (pre-codec contract) must still work: codec = null
+    def legacy(kind, payload):
+        return {"width": 1, "height": 2, "duration_sec": None, "feat_hash": "x"}
+
+    lg = extract_media_features(df, decoder=legacy).collect()
+    assert all(r["codec"] is None and r["width"] == 1 for r in lg)

@@ -185,3 +185,56 @@ def test_export_raw_and_dedup_cli(spark, tmp_path, capsys):
     # exactly one first-seen row per conversation
     assert dd.count() == 12
     assert dd.select("conv_id").distinct().count() == 12
+
+
+def test_export_dedup_first_seen_survives_state_eviction(spark, tmp_path, capsys):
+    """A conversation resuming AFTER its dedup state was watermark-evicted
+    re-emits into a later epoch; the merged export must still report the
+    FIRST-seen row (earliest-ts precedence), not the re-emission
+    (latest-epoch-wins would silently invert the semantics)."""
+    import pyspark.sql.functions as F
+
+    def batch(rows):
+        return (
+            spark.createDataFrame(
+                rows,
+                "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+            )
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn("ts_date", F.to_date("ts"))
+            .coalesce(1)
+        )
+
+    src = str(tmp_path / "src")
+    # three files, written in event-time order with separated mod-times (the
+    # file source orders same-mtime files arbitrarily, which would make the
+    # earlier event-time rows late-beyond-watermark); watermark 2 minutes
+    import time as _time
+
+    # four batches: state eviction lags one batch behind the watermark (the
+    # dedup check runs against the PREVIOUS batch's watermark, cleanup after
+    # the batch), so the first re-emission shows up in batch 4
+    for rows in (
+        [("X", 0, "user", "first", None, "2026-01-01 00:00:00")],
+        [("X", 5, "user", "resumed A", None, "2026-01-01 03:00:00")],
+        [("X", 9, "user", "resumed B", None, "2026-01-01 06:00:00")],
+        [("X", 13, "user", "resumed C", None, "2026-01-01 09:00:00"),
+         ("Y", 0, "user", "other", None, "2026-01-01 09:00:00")],
+    ):
+        batch(rows).write.mode("append").partitionBy("ts_date").parquet(src)
+        _time.sleep(1.2)
+
+    jobs.main(["export_dedup", "--source", src,
+               "--sink", str(tmp_path / "dd"), "--checkpoint", str(tmp_path / "ck"),
+               "--max-files-per-trigger", "1"])
+    capsys.readouterr()
+    from stellar_etl_spark.streaming.sink import IdempotentSink
+
+    sink = IdempotentSink.from_meta(str(tmp_path / "dd"))
+    # the re-emission DID land in a later epoch (state was evicted)...
+    raw = sink.read_raw(spark).where("conv_id = 'X'")
+    assert raw.count() >= 2, "expected a post-eviction re-emission to exercise the merge"
+    # ...but the merged view keeps the true first-seen row
+    merged = {r["conv_id"]: r for r in sink.read_sink(spark).collect()}
+    assert merged["X"]["turn_idx"] == 0 and merged["X"]["text"] == "first"
+    assert merged["Y"]["turn_idx"] == 0

@@ -592,9 +592,10 @@ def test_compact_json_sink_raises(spark, tmp_path):
 
 
 def test_dedup_orderability_handles_nested_maps(spark, tmp_path):
-    """The tiebreak order must exclude any type CONTAINING a map (array<map>,
-    struct-with-map), and an all-map payload falls back to key ordering
-    instead of raising on an empty ORDER BY (ADVICE r3)."""
+    """Types Spark can't ORDER BY (array<map>, struct-with-map) still break
+    ties DETERMINISTICALLY via the to_json canonicalization — a replay picks
+    the same survivor — instead of raising on an empty ORDER BY or
+    degenerating to task order (ADVICE r3 + review r4)."""
     from stellar_etl_spark.streaming.sink import key_precedence_dedup
 
     df = spark.createDataFrame(
@@ -602,7 +603,11 @@ def test_dedup_orderability_handles_nested_maps(spark, tmp_path):
         "conv_id string, turn_idx int, payload array<map<string,string>>",
     )
     out = key_precedence_dedup(df, ["conv_id", "turn_idx"], [])
-    assert out.count() == 2  # analyzed + deduped, no AnalysisException
+    rows = {(r["conv_id"], r["turn_idx"]): r["payload"] for r in out.collect()}
+    assert len(rows) == 2
+    # to_json desc: {"k":"2"} > {"k":"1"} — the survivor is pinned, not
+    # whichever row a task happened to order first
+    assert rows[("a", 0)] == [{"k": "2"}]
     # and a sink whose every non-key column is such a type still merges
     sink = IdempotentSink(str(tmp_path / "maps"), ("conv_id", "turn_idx"))
     sink.foreach_batch(df, 0)
