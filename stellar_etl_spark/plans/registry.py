@@ -892,43 +892,43 @@ FROM transcripts
 
 
 # --- §3.3 time range --------------------------------------------------------
+# ONE registry entry covers both clamp cases (driver-window economy, r04
+# verdict ask #1): 'interior' = request inside the data range, 'straddle' =
+# request straddling the whole table so both ends clamp (early_start +
+# late_end golden analogs, /root/reference/testdata/ranges/*.golden;
+# tolerance disabled on the straddle case like the archive-backed reference
+# path that predates checkTimesWithinDatastore). The full 10-case clamp
+# battery lives in tests/test_ranges.py.
 _RANGE_LO, _RANGE_HI = "2024-01-05 00:00:00", "2024-01-20 00:00:00"
+_EDGE_LO, _EDGE_HI = "2000-01-01 00:00:00", "2100-01-01 00:00:00"
 
 
 def q_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return time_range(
-        transcripts_from_events(spark, sf_dir), _RANGE_LO, _RANGE_HI
-    ).select("start_ts", "end_ts", "n_turns")
+    tv = transcripts_from_events(spark, sf_dir)
+    interior = time_range(tv, _RANGE_LO, _RANGE_HI).select(
+        F.lit("interior").alias("range_case"), "start_ts", "end_ts", "n_turns"
+    )
+    straddle = time_range(tv, _EDGE_LO, _EDGE_HI, future_tolerance_sec=None).select(
+        F.lit("straddle").alias("range_case"), "start_ts", "end_ts", "n_turns"
+    )
+    return interior.unionByName(straddle)
+
+
+def _sql_range_case(label: str, lo: str, hi: str) -> str:
+    return f"""
+SELECT '{label}' AS range_case,
+  min(ts) AS start_ts, max(ts) AS end_ts, CAST(count(*) AS BIGINT) AS n_turns
+FROM transcripts, b
+WHERE ts BETWEEN least(greatest(TIMESTAMP '{lo}', b.lo), b.hi)
+             AND least(greatest(TIMESTAMP '{hi}', b.lo), b.hi)
+"""
 
 
 SQL_TIME_RANGE = f"""{TRANSCRIPTS_CTE},
 b AS (SELECT min(ts) AS lo, max(ts) AS hi FROM transcripts)
-SELECT min(ts) AS start_ts, max(ts) AS end_ts, CAST(count(*) AS BIGINT) AS n_turns
-FROM transcripts, b
-WHERE ts BETWEEN least(greatest(TIMESTAMP '{_RANGE_LO}', b.lo), b.hi)
-             AND least(greatest(TIMESTAMP '{_RANGE_HI}', b.lo), b.hi)
-"""
-
-
-# Edge case: request straddles the whole table (start before oldest, end
-# after latest) — both ends clamp (early_start + late_end golden analogs,
-# /root/reference/testdata/ranges/*.golden); tolerance disabled like the
-# archive-backed reference path that predates checkTimesWithinDatastore.
-_EDGE_LO, _EDGE_HI = "2000-01-01 00:00:00", "2100-01-01 00:00:00"
-
-
-def q_time_range_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return time_range(
-        transcripts_from_events(spark, sf_dir), _EDGE_LO, _EDGE_HI, future_tolerance_sec=None
-    ).select("start_ts", "end_ts", "n_turns")
-
-
-SQL_TIME_RANGE_EDGE = f"""{TRANSCRIPTS_CTE},
-b AS (SELECT min(ts) AS lo, max(ts) AS hi FROM transcripts)
-SELECT min(ts) AS start_ts, max(ts) AS end_ts, CAST(count(*) AS BIGINT) AS n_turns
-FROM transcripts, b
-WHERE ts BETWEEN least(greatest(TIMESTAMP '{_EDGE_LO}', b.lo), b.hi)
-             AND least(greatest(TIMESTAMP '{_EDGE_HI}', b.lo), b.hi)
+{_sql_range_case('interior', _RANGE_LO, _RANGE_HI)}
+UNION ALL
+{_sql_range_case('straddle', _EDGE_LO, _EDGE_HI)}
 """
 
 
@@ -949,25 +949,6 @@ SELECT
   CAST(count(*) AS BIGINT) AS n_turns
 FROM transcripts
 GROUP BY 1, 2, 3, 4
-"""
-
-
-# --- documents: token stats -------------------------------------------------
-def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select(
-        "doc_id",
-        "lang",
-        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_chars_calc"),
-        textfn.token_count(F.col("text")).alias("n_tokens"),
-    )
-
-
-SQL_DOC_TOKEN_STATS = f"""
-SELECT doc_id, lang,
-  CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_calc,
-  {_SQL_NTOK} AS n_tokens
-FROM documents
 """
 
 
@@ -1004,12 +985,18 @@ FROM scored
 """
 
 
-# --- documents: quality -----------------------------------------------------
+# --- documents: quality + token stats ---------------------------------------
+# ONE entry hash-checks both the quality-scoring and token-counting column
+# functions (merged from the former separate doc_token_stats query —
+# driver-window economy, r04 verdict ask #1; one documents scan instead of
+# two). lang/n_chars come from the token-stats half.
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     feats = textfn.quality_features(F.col("text"))
     return d.select(
         "doc_id",
+        "lang",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_chars_calc"),
         feats["n_tokens"].alias("n_tokens"),
         F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
         F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
@@ -1025,7 +1012,7 @@ def _sql_all_stopwords() -> str:
 
 SQL_DOC_QUALITY = f"""
 WITH f AS (
-  SELECT doc_id,
+  SELECT doc_id, lang,
     CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
     {_SQL_NTOK} AS n_tokens,
     CAST(length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
@@ -1038,7 +1025,7 @@ WITH f AS (
     ELSE 0.0 END AS stopword_ratio
   FROM documents
 )
-SELECT doc_id, n_tokens,
+SELECT doc_id, lang, n_chars AS n_chars_calc, n_tokens,
   round(punct_ratio, 6) AS punct_ratio,
   round(stopword_ratio, 6) AS stopword_ratio,
   round(
@@ -1955,6 +1942,14 @@ FROM g WHERE role = 'assistant' AND prev_role = 'user'
 
 # ---------------------------------------------------------------------------
 # Registry
+#
+# DRIVER-WINDOW INVARIANT: the per-round correctness driver verifies (at
+# most) the FIRST ~50 entries of this dict in order — CORRECTNESS_r04
+# contained exactly the first 50 of 52, silently dropping the last two.
+# Keep len(REGISTRY) <= 50 (pinned by tests/test_oracle_parity.py::
+# test_registry_inside_driver_window) and
+# put new or freshly-rewritten queries EARLY in the dict, never appended at
+# the end.
 # ---------------------------------------------------------------------------
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "turns": (q_turns, SQL_TURNS),
@@ -1986,13 +1981,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "restored_turns": (q_restored_turns, SQL_RESTORED_TURNS),
     "response_ratios": (q_response_ratios, SQL_RESPONSE_RATIOS),
     "time_range": (q_time_range, SQL_TIME_RANGE),
-    "time_range_edge": (q_time_range_edge, SQL_TIME_RANGE_EDGE),
     "batch_bounds": (q_batch_bounds, SQL_BATCH_BOUNDS),
-    "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "doc_language_id": (q_doc_language_id, SQL_DOC_LANGUAGE_ID),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
+    # ANN block stays contiguous and INSIDE the driver window (r04 dropped
+    # the two non-brute-force entries by appending them at position 51-52)
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "tpch_pricing": (q_tpch_pricing, SQL_TPCH_PRICING),
@@ -2014,8 +2011,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_minhash_pairs": (q_doc_minhash_pairs, SQL_DOC_MINHASH_PAIRS),
     "strkey_handles": (q_strkey_handles, SQL_STRKEY_HANDLES),
     "doc_simhash_pairs": (q_doc_simhash_pairs, SQL_DOC_SIMHASH_PAIRS),
-    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
-    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
 }
 
 

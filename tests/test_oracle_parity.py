@@ -35,3 +35,15 @@ def test_entry_contract(spark):
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 19
+
+
+def test_registry_inside_driver_window():
+    # The per-round correctness driver verifies only the FIRST ~50 registry
+    # entries (CORRECTNESS_r04 contained exactly the first 50 of 52, silently
+    # dropping the two ANN queries appended at the end). Every entry must sit
+    # inside that window or its oracle never runs — see the invariant comment
+    # above REGISTRY in plans/registry.py.
+    assert len(REGISTRY) <= 50, (
+        f"REGISTRY has {len(REGISTRY)} entries; the driver checks only the "
+        "first ~50 — fold or drop an entry instead of appending past the cap"
+    )
