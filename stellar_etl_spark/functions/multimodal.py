@@ -76,6 +76,12 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
             return None
         w = int.from_bytes(payload[16:20], "big")
         h = int.from_bytes(payload[20:24], "big")
+        # raw big-endian u32 can exceed int32 (FEATURES_SCHEMA width/height
+        # are IntegerType — an unchecked 2^31 dim kills the whole Arrow batch
+        # with ArrowInvalid); the PNG spec itself caps dims at 2^31-1 and
+        # forbids 0, so hostile headers fall back to the fake decoder
+        if not (0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF):
+            return None
         return ("png", w, h)
     if payload[:2] == b"\xff\xd8":
         pos = 2
@@ -93,6 +99,10 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
                     return None
                 h = int.from_bytes(payload[pos + 5 : pos + 7], "big")
                 w = int.from_bytes(payload[pos + 7 : pos + 9], "big")
+                # h == 0 means "deferred to a DNL marker" (B.2.2) — treat as
+                # unparseable rather than emitting a zero dimension
+                if w == 0 or h == 0:
+                    return None
                 return ("jpeg", w, h)
             if marker == 0xD9:  # EOI before any frame
                 return None

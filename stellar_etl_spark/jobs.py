@@ -232,9 +232,12 @@ def main(argv: list[str] | None = None) -> int:
         from stellar_etl_spark.operators.dedup import streaming_first_seen_dedup
 
         out = streaming_first_seen_dedup(df, ["conv_id"], args.watermark)
-        return out.withColumn(
-            "first_seen_neg_ts", -F.unix_timestamp("ts").cast("long")
-        )
+        # microsecond precision: this column is sink-internal (not bound by
+        # the epoch-second oracle-parity convention), and whole-second
+        # flooring would tie a post-eviction re-emission with the true
+        # first-seen row inside the same second, letting epoch-desc pick the
+        # later one (ADVICE r4)
+        return out.withColumn("first_seen_neg_ts", -F.unix_micros(F.col("ts")))
 
     raw_extractors = {
         "export_turns": turns_ex,

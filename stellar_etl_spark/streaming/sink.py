@@ -307,6 +307,35 @@ class IdempotentSink:
         return new_epoch
 
 
+def merge_update_condition(
+    order_cols: list[str], src: str = "s", tgt: str = "t"
+) -> str | None:
+    """SQL predicate for the MERGE's WHEN MATCHED clause: update only when
+    the source row does not LOSE to the target under the ``order_cols``
+    precedence — lexicographic descending with NULL as the lowest value, the
+    same ordering ``key_precedence_dedup`` applies intra-batch (order_cols
+    ``desc`` puts nulls last in Spark). Without this, an unconditional
+    UPDATE makes cross-batch precedence latest-batch-wins regardless of
+    order_cols, silently inverting e.g. export_dedup's
+    first_seen_neg_ts-beats-recency contract (ADVICE r4). Ties fall through
+    to update — the later batch's row wins, mirroring the local sink's
+    epoch-desc tiebreak. Returns None when order_cols is empty
+    (unconditional update, pure latest-batch-wins)."""
+    if not order_cols:
+        return None
+
+    def beats(a: str, b: str) -> str:
+        # lexicographic strict-greater of alias a over alias b, NULL lowest
+        expr = "FALSE"
+        for c in reversed(order_cols):
+            gt = f"({a}.{c} IS NOT NULL AND ({b}.{c} IS NULL OR {a}.{c} > {b}.{c}))"
+            eq = f"({a}.{c} IS NOT DISTINCT FROM {b}.{c})"
+            expr = f"({gt} OR ({eq} AND {expr}))"
+        return expr
+
+    return f"(NOT {beats(tgt, src)})"
+
+
 class IcebergMergeSink:
     """Production sink: one atomic Iceberg ``MERGE INTO`` per micro-batch,
     keyed by the business key — replayed epochs update the same rows, so the
@@ -355,12 +384,21 @@ class IcebergMergeSink:
         view = f"_merge_src_{epoch_id}"
         df.createOrReplaceTempView(view)
         on = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)
+        # order_cols precedence must hold ACROSS batches too, not just inside
+        # one — a conditional matched clause keeps e.g. a re-emitted
+        # first-seen row from replacing the true earliest one
+        cond = merge_update_condition(self.order_cols)
+        matched = (
+            "WHEN MATCHED THEN UPDATE SET *"
+            if cond is None
+            else f"WHEN MATCHED AND {cond} THEN UPDATE SET *"
+        )
         spark.sql(
             f"""
             MERGE INTO {self.table} t
             USING {view} s
             ON {on}
-            WHEN MATCHED THEN UPDATE SET *
+            {matched}
             WHEN NOT MATCHED THEN INSERT *
             """
         )

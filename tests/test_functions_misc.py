@@ -172,6 +172,26 @@ def test_parse_image_header_real_formats(spark):
     assert parse_image_header(b"\x89PNG\r\n\x1a\n1234") is None
     assert parse_image_header(b"\xff\xd8\xff\xd9") is None  # EOI before SOF
     assert parse_image_header(b"plain text") is None
+    # hostile-but-valid IHDR declaring dims >= 2^31 (or 0) must NOT surface —
+    # FEATURES_SCHEMA width/height are int32 and an unchecked u32 kills the
+    # whole Arrow batch (ADVICE r4); the fake decoder takes over instead
+    evil_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 0x80000000, 480) + b"\x08\x06\x00\x00\x00"
+    )
+    assert parse_image_header(evil_png) is None
+    assert header_decode("image", evil_png)["codec"] == "fake"
+    zero_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 0, 480) + b"\x08\x06\x00\x00\x00"
+    )
+    assert parse_image_header(zero_png) is None
+    # JPEG SOF with height 0 (DNL-deferred, B.2.2) likewise falls back
+    sof_dnl = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 0, 1280) \
+        + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    assert parse_image_header(b"\xff\xd8" + sof_dnl) is None
     assert header_decode("image", b"plain text")["codec"] == "fake"
     assert header_decode("image", png)["codec"] == "png"
     assert header_decode("audio", png)["codec"] == "fake"  # kind gates parse

@@ -564,6 +564,66 @@ def test_merge_semantics_shared(spark, tmp_path):
     assert by_key[("a", 0)][2] == "v3" and by_key[("c", 0)][2] == "c2"
 
 
+def test_merge_condition_honors_order_cols(spark, tmp_path):
+    """Cross-batch order_cols precedence (ADVICE r4): the Iceberg MERGE's
+    conditional matched clause (merge_update_condition) must keep a
+    higher-precedence target row when a later batch re-emits a lower one —
+    e.g. export_dedup's first-seen row surviving a post-eviction re-emission
+    — exactly like the parquet sink's merge-on-read (order_cols beat epoch
+    recency). Folds a replay history through the generated SQL predicate and
+    asserts the relation equals IdempotentSink.read_sink's."""
+    from stellar_etl_spark.streaming.sink import (
+        key_precedence_dedup,
+        merge_update_condition,
+    )
+
+    keys = ["conv_id", "turn_idx"]
+    order_cols = ["score"]
+    history = [
+        (0, [("a", 0, "first", 5), ("b", 0, "b1", 1)]),
+        # later batch: LOWER precedence for a (must NOT replace), higher for
+        # b (must replace), null-precedence insert for c
+        (1, [("a", 0, "late_lower", 3), ("b", 0, "b2", 4), ("c", 0, "c1", None)]),
+        (1, [("a", 0, "late_lower", 3), ("b", 0, "b2", 4), ("c", 0, "c1", None)]),
+        # non-null beats the null target (NULL is lowest); order_cols tie on
+        # a -> later batch wins (epoch-desc tiebreak on both paths)
+        (2, [("c", 0, "c2", 2), ("a", 0, "tie", 5)]),
+    ]
+
+    sink = IdempotentSink(str(tmp_path / "merge_ord"), tuple(keys), order_cols=tuple(order_cols))
+    cond = merge_update_condition(order_cols)
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    target = None
+    for epoch, rows in history:
+        batch = _mk_batch(spark, rows)
+        sink.foreach_batch(batch, epoch)
+        s = key_precedence_dedup(batch, keys, order_cols)
+        if target is None:
+            target = s
+            continue
+        # simulate MERGE INTO with the conditional matched clause the sink
+        # generates, engine-agnostically via SQL over the two relations
+        target.createOrReplaceTempView("t")
+        s.createOrReplaceTempView("s")
+        cols = target.columns
+        upd = ", ".join(
+            f"CASE WHEN s.{keys[0]} IS NOT NULL AND {cond} THEN s.{c} ELSE t.{c} END AS {c}"
+            for c in cols
+        )
+        target = spark.sql(
+            f"SELECT {upd} FROM t LEFT JOIN s ON {on} "
+            f"UNION ALL SELECT s.* FROM s LEFT ANTI JOIN t ON {on}"
+        ).localCheckpoint()  # detach from the temp views before they rebind
+
+    got = sorted(map(tuple, sink.read_sink(spark).collect()))
+    want = sorted(map(tuple, target.collect()))
+    assert got == want
+    by_key = {(r[0], r[1]): r for r in got}
+    assert by_key[("a", 0)][2] == "tie"  # score-5 tie -> later batch, never late_lower
+    assert by_key[("b", 0)][2] == "b2"
+    assert by_key[("c", 0)][2] == "c2"
+
+
 def test_sink_meta_mismatch_raises(spark, tmp_path):
     """Re-exporting into an existing sink path with a different key set or
     format must raise, not silently leave stale metadata (ADVICE r3)."""
