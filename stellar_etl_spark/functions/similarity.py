@@ -350,13 +350,17 @@ def ivf_topk(
     centroids, so BOTH engines (and any replay) reproduce the identical
     index with zero training state.
 
-    Scale shape mirrors :func:`lsh_topk`'s fixed version: the medoid table
-    (n_lists rows) broadcasts; corpus assignment is a narrow broadcast-join
-    + per-id argmin (one shuffle on the id, no all-pairs); the inverted-list
-    join carries (id, list_id) ONLY — every corpus vector is in exactly one
-    list, so candidates are duplicate-free by construction and vectors
-    rejoin once for scoring. Expected candidate work per query:
-    ``n_probe / n_lists`` of the corpus.
+    Scale shape mirrors :func:`lsh_topk`'s fixed version: the medoids
+    collapse to ONE broadcast row holding the array of (list_id, mvec), and
+    corpus assignment is a fully NARROW projection — all ``n_lists`` cosines
+    unrolled into an array of (msim, prio) structs, ``array_max`` picks the
+    argmax (prio encodes the asc-list_id tiebreak) — zero Exchange and zero
+    Window on the 10^12-row side (VERDICT r4 #3; the old crossJoin +
+    row_number form replicated every corpus row ``n_lists``× through a
+    shuffle+sort). The inverted-list join carries (id, list_id) ONLY — every
+    corpus vector is in exactly one list, so candidates are duplicate-free
+    by construction and vectors rejoin once for scoring. Expected candidate
+    work per query: ``n_probe / n_lists`` of the corpus.
 
     Recall comes from probing multiple lists (near-boundary neighbors live
     in adjacent cells); measured numbers alongside the LSH grid in
@@ -381,7 +385,40 @@ def ivf_topk(
         .select(F.col("neighbor_id").alias("list_id"), F.col("cvec").alias("mvec"))
     )
 
+    # the n_lists medoids as ONE row: array of (list_id, mvec) sorted by
+    # list_id asc (sort_array on the struct orders by the first field)
+    med_arr = med.agg(F.sort_array(F.collect_list(F.struct("list_id", "mvec"))).alias("meds"))
+
+    def assign_one(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        # fully narrow argmax: single-row broadcast nested-loop join, then
+        # all n_lists cosines unrolled in one projection. prio = n_lists - i
+        # over the list_id-ascending array makes array_max's struct
+        # comparison break msim ties on the SMALLEST list_id — identical to
+        # the window form's orderBy(desc(msim), asc(list_id)). F.get returns
+        # NULL past the array end (corpus smaller than n_lists); coalesce to
+        # -2.0 keeps any real cosine (>= -1) winning over a missing slot.
+        j = df.crossJoin(F.broadcast(med_arr))
+        best = F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        F.coalesce(
+                            F.round(cosine(F.col(vc), F.get("meds", i)["mvec"]), 6),
+                            F.lit(-2.0),
+                        ).alias("msim"),
+                        F.lit(n_lists - i).alias("prio"),
+                    )
+                    for i in range(n_lists)
+                ]
+            )
+        )
+        return j.select(
+            idc,
+            F.get(F.col("meds"), F.lit(n_lists) - best["prio"])["list_id"].alias("list_id"),
+        )
+
     def nearest_lists(df: DataFrame, idc: str, vc: str, n: int) -> DataFrame:
+        # window form, kept for the n_probe > 1 QUERY side only (tiny)
         scored = df.crossJoin(F.broadcast(med)).select(
             idc, "list_id", F.round(cosine(F.col(vc), F.col("mvec")), 6).alias("msim")
         )
@@ -392,7 +429,7 @@ def ivf_topk(
             .select(idc, "list_id")
         )
 
-    c_lists = nearest_lists(c, "neighbor_id", "cvec", 1)  # one list per vector
+    c_lists = assign_one(c, "neighbor_id", "cvec")  # one list per vector, narrow
     q_lists = nearest_lists(q, "query_id", "qvec", n_probe)
     q_side = F.broadcast(q_lists) if broadcast_queries else q_lists
     candidates = (

@@ -202,3 +202,38 @@ def test_ivf_topk_join_variants(spark):
         assert sorted(map(tuple, bcast.collect())) == sorted(map(tuple, shuf.collect()))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ivf_corpus_assignment_narrow(spark):
+    """VERDICT r4 #3: IVF corpus→list assignment must be a fully narrow
+    projection — single-row broadcast medoid array + unrolled argmax — with
+    NO Exchange and NO Window on the corpus side before the inverted-list
+    join. The only shuffles touching neighbor_id are the post-candidate
+    scoring joins (where vectors legitimately rejoin once)."""
+    from stellar_etl_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = ivf_topk(emb, qs, n_lists=8, n_probe=2, broadcast_queries=False)
+        jvm = spark._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        txt = df._jdf.queryExecution().explainString(mode)
+        blocks = re.split(r"\n\(\d+\) ", txt)
+        # the single-row medoid-array join shows up as one BNLJ
+        assert any(b.startswith("BroadcastNestedLoopJoin") for b in blocks)
+        # the old crossJoin+row_number assignment put a Window partitioned on
+        # the corpus id and an Exchange carrying msim; both must be gone
+        for b in blocks:
+            if b.startswith("Window"):
+                assert "neighbor_id" not in b.split("\n")[0], (
+                    f"corpus-side Window survived in assignment:\n{b}"
+                )
+            if b.startswith("Exchange") and re.search(r"hashpartitioning\([^)]*neighbor_id", b):
+                # the tiny query side keeps its window (partitioned on
+                # query_id); only a corpus-side msim shuffle is forbidden
+                assert "msim" not in b, f"assignment Exchange survived:\n{b}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
