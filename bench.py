@@ -8,11 +8,19 @@ then runs the streaming engine benchmark: a deterministic synthetic transcript
 stream through the exactly-once turns export, reporting end-to-end turns/sec
 and mean window-close (trigger) latency.
 
+Per-query timings are best-of over SPARK_GRAFT_BENCH_REPS interleaved reps
+(default 2) for queries slower than SPARK_GRAFT_BENCH_SLOW_SEC (default 1 s);
+raw samples, spreads, and a per-pass quiet-probe timing ride along in the
+JSON so cross-round deltas are attributable (shared-VM noise up to 10x —
+see CLAUDE.md).
+
 Extra env knobs:
   SPARK_GRAFT_CPUS            local parallelism (default 32)
   SPARK_GRAFT_BENCH_CONVS     synthetic conversations for the streaming bench
                               (default 20000 ≈ 175k turns)
   SPARK_GRAFT_SKIP_STREAMING  set to skip the streaming section
+  SPARK_GRAFT_BENCH_REPS      interleaved passes for slow queries (default 2)
+  SPARK_GRAFT_BENCH_SLOW_SEC  rep threshold in seconds (default 1.0)
 """
 
 from __future__ import annotations
@@ -40,14 +48,42 @@ def main() -> None:
 
     t0 = time.time()
     per_query: dict[str, float] = {}
+    query_reps: dict[str, list[float]] = {}
+    probe_secs: list[float] = []
     if not os.environ.get("SPARK_GRAFT_ONLY_STREAMING"):
         # warm-up: JVM JIT + codegen + parquet footer caches; not timed
         _force(spark.range(100000).selectExpr("id", "sha2(cast(id as string), 256) s"))
         _force(REGISTRY["turns"][0](spark, "/root/testdata/sf0.001"))
+
+        def probe() -> float:
+            # fixed JVM-side compute, the in-session analog of
+            # bench_scaling.py's quiet probe: published per pass so a
+            # congested-VM rep is attributable instead of reading as a plan
+            # regression (CLAUDE.md: shared-VM noise up to 10x)
+            t = time.time()
+            _force(spark.range(2_000_000).selectExpr("id", "sha2(cast(id as string), 256) s"))
+            return round(time.time() - t, 3)
+
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+        slow_cut = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_SEC", "1.0"))
+        # pass 1: every query once
+        probe_secs.append(probe())
         for name, (fn, _) in REGISTRY.items():
             start = time.time()
             _force(fn(spark, sf_dir))
-            per_query[name] = round(time.time() - start, 3)
+            query_reps[name] = [round(time.time() - start, 3)]
+        # passes 2..reps: INTERLEAVED re-runs of the >slow_cut queries — a
+        # noise spike hits one rep of many queries, not many reps of one, so
+        # best-of converges on the machine-quiet timing (VERDICT r4 #2)
+        slow = [n for n, ts in query_reps.items() if min(ts) > slow_cut]
+        for _ in range(1, reps):
+            probe_secs.append(probe())
+            for name in slow:
+                fn = REGISTRY[name][0]
+                start = time.time()
+                _force(fn(spark, sf_dir))
+                query_reps[name].append(round(time.time() - start, 3))
+        per_query = {n: min(ts) for n, ts in query_reps.items()}
 
     result: dict = {
         "metric": "suite_seconds",
@@ -55,6 +91,12 @@ def main() -> None:
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": cpus,
         "queries": per_query,
+        # raw per-rep samples + per-pass probe timings: spread = max-min
+        "query_reps": query_reps,
+        "query_spread": {
+            n: round(max(ts) - min(ts), 3) for n, ts in query_reps.items() if len(ts) > 1
+        },
+        "probe_sec": probe_secs,
     }
 
     if not os.environ.get("SPARK_GRAFT_SKIP_STREAMING"):

@@ -362,6 +362,14 @@ def ivf_topk(
     by construction and vectors rejoin once for scoring. Expected candidate
     work per query: ``n_probe / n_lists`` of the corpus.
 
+    Tiny-corpus caveat (measured): with the corpus in a single input split
+    the narrow assignment runs in one task, so at bench scale (2k vectors)
+    it reads ~1 s slower than the old shuffle form, which incidentally
+    spread the replicated rows over all cores. At real scale the input's
+    own splits provide that parallelism for free and the removed
+    Exchange+sort of an n_lists×-replicated relation dominates — the
+    narrow form is the right plan where it matters.
+
     Recall comes from probing multiple lists (near-boundary neighbors live
     in adjacent cells); measured numbers alongside the LSH grid in
     BENCH/BASELINE.md.
@@ -385,25 +393,41 @@ def ivf_topk(
         .select(F.col("neighbor_id").alias("list_id"), F.col("cvec").alias("mvec"))
     )
 
-    # the n_lists medoids as ONE row: array of (list_id, mvec) sorted by
-    # list_id asc (sort_array on the struct orders by the first field)
-    med_arr = med.agg(F.sort_array(F.collect_list(F.struct("list_id", "mvec"))).alias("meds"))
+    # the n_lists medoids as ONE row: array of (list_id, mvec, mnorm) sorted
+    # by list_id asc (sort_array on the struct orders by the first field).
+    # Medoid norms ride the broadcast so the per-row argmax pays them zero
+    # HOF aggregates (each _norm is an interpreted O(dim) fold).
+    med_arr = med.agg(
+        F.sort_array(
+            F.collect_list(F.struct("list_id", "mvec", _norm(F.col("mvec")).alias("mnorm")))
+        ).alias("meds")
+    )
 
     def assign_one(df: DataFrame, idc: str, vc: str) -> DataFrame:
         # fully narrow argmax: single-row broadcast nested-loop join, then
-        # all n_lists cosines unrolled in one projection. prio = n_lists - i
-        # over the list_id-ascending array makes array_max's struct
-        # comparison break msim ties on the SMALLEST list_id — identical to
-        # the window form's orderBy(desc(msim), asc(list_id)). F.get returns
-        # NULL past the array end (corpus smaller than n_lists); coalesce to
-        # -2.0 keeps any real cosine (>= -1) winning over a missing slot.
-        j = df.crossJoin(F.broadcast(med_arr))
+        # all n_lists cosines unrolled in one projection — per row that is
+        # n_lists dot folds + ONE own-norm fold (hoisted below; the naive
+        # per-cosine form re-folds both norms n_lists times, measured ~2x
+        # slower end-to-end). msim arithmetic is kept bit-identical to
+        # :func:`cosine` — same round(dot / (norm_c * norm_m + eps), 6) —
+        # so the DuckDB oracle's recomputed assignment matches exactly.
+        # prio = n_lists - i over the list_id-ascending array makes
+        # array_max's struct comparison break msim ties on the SMALLEST
+        # list_id — identical to the window form's
+        # orderBy(desc(msim), asc(list_id)). F.get returns NULL past the
+        # array end (corpus smaller than n_lists); coalesce to -2.0 keeps
+        # any real cosine (>= -1) winning over a missing slot.
+        j = df.crossJoin(F.broadcast(med_arr)).withColumn("_cnorm", _norm(F.col(vc)))
         best = F.array_max(
             F.array(
                 *[
                     F.struct(
                         F.coalesce(
-                            F.round(cosine(F.col(vc), F.get("meds", i)["mvec"]), 6),
+                            F.round(
+                                _dot(F.col(vc), F.get("meds", i)["mvec"])
+                                / (F.col("_cnorm") * F.get("meds", i)["mnorm"] + F.lit(_EPS)),
+                                6,
+                            ),
                             F.lit(-2.0),
                         ).alias("msim"),
                         F.lit(n_lists - i).alias("prio"),

@@ -113,23 +113,28 @@ def q_fanout_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
         # SQL-reproducible conv_seq is recoverable from the conv_id format
         # ('conv_%08d' of the same number)
         seq = F.expr("CAST(substring(conv_id, 6) AS BIGINT)")
-        sinks = run_fanout_export(
-            spark,
-            src,
-            {
-                "turns": lambda df: extract_turns(df, conv_seq=seq),
-                "units": lambda df: extract_units(df, conv_seq=seq),
-                "effects": lambda df: extract_effects(df, conv_seq=seq),
-            },
-            f"{work}/out",
-            f"{work}/ck",
-            keys={
-                "turns": ("conv_id", "turn_idx"),
-                "units": ("conv_id", "turn_idx", "unit_idx"),
-                "effects": ("conv_id", "turn_idx", "effect_index"),
-            },
-            max_files_per_trigger=2,
-        )
+        # 16 (not 8): the 3-extractor fan-out is the one compute-bound
+        # harness — A/B at sf0.1 showed 8/16/32 within noise, so keep the
+        # parallelism headroom while still trimming state/commit overhead
+        with _harness_partitions(spark, 16):
+            sinks = run_fanout_export(
+                spark,
+                src,
+                {
+                    "turns": lambda df: extract_turns(df, conv_seq=seq),
+                    "units": lambda df: extract_units(df, conv_seq=seq),
+                    "effects": lambda df: extract_effects(df, conv_seq=seq),
+                },
+                f"{work}/out",
+                f"{work}/ck",
+                keys={
+                    "turns": ("conv_id", "turn_idx"),
+                    "units": ("conv_id", "turn_idx", "unit_idx"),
+                    "effects": ("conv_id", "turn_idx", "effect_index"),
+                },
+                max_files_per_trigger=2,
+                output_partitions=4,
+            )
         out = sinks["turns"].read_sink(spark)
         rows = out.limit(1_000_001).collect()  # bound BEFORE collecting
         if len(rows) > 1_000_000:
@@ -603,6 +608,28 @@ WHERE role = 'user'
 
 
 # --- stateful streaming harness (driver-facing) ------------------------------
+import contextlib
+
+
+@contextlib.contextmanager
+def _harness_partitions(spark: SparkSession, n: int = 8):
+    """Shrink shuffle/state partitions for the driver-check harnesses only.
+
+    Each state partition is a full state-store instance writing delta +
+    commit files per micro-batch, and each epoch write commits one file per
+    partition — at 32 partitions that fixed overhead dominated the harness
+    clock (~64 s combined at sf0.1, VERDICT r4 #6). The operators' semantics
+    are partition-count independent (pinned by the batch-size-independence
+    tests), so 8 partitions buys the same green rows ~4x cheaper. Fresh
+    checkpoints each run, so the state-partition count never conflicts."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _run_streaming_query(
     spark: SparkSession,
     tv: DataFrame,
@@ -638,9 +665,10 @@ def _run_streaming_query(
         ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
         sentinel.write.mode("append").parquet(src)
 
-        sink = IdempotentSink(f"{work}/out", keys)
-        run_export(spark, src, extractor, sink, f"{work}/ckpt",
-                   max_files_per_trigger=1, output_mode=output_mode)
+        sink = IdempotentSink(f"{work}/out", keys, output_partitions=4)
+        with _harness_partitions(spark):
+            run_export(spark, src, extractor, sink, f"{work}/ckpt",
+                       max_files_per_trigger=1, output_mode=output_mode)
         out = sink.read_sink(spark).where(F.col(drop_flush_on) != "flush")
         # driver-side collect is fine ONLY at this harness's sf0.01
         # driver-check scale (the temp dirs force materialization before
