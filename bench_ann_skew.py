@@ -15,11 +15,15 @@ cannot broadcast:
 - wall time of the full ``lsh_topk`` (join + dedup + cosine verify) OFF vs
   ON, interleaved best-of-N.
 
-The skew threshold is lowered to 8 MB for the measurement because the probe
-corpus is deliberately small; at production sizes the hot partition passes
-the default 256 MB threshold on its own (a 25%-hot 10^9-row corpus puts
-~10^8 id rows in one reducer). Appends one markdown block to
-BENCH/ADDENDA.md and prints one JSON line.
+AQE knobs are scaled to the miniature corpus (the probe's map output is
+~10^4x smaller than a 10^9-vector production run): partition coalescing is
+pinned OFF — at production bytes 32 partitions of GBs never coalesce, while
+here coalescing would (measured) collapse the whole join into ONE task by
+input bytes, blind to the join-output explosion — and the skew threshold /
+advisory size shrink proportionally (production hot partitions pass the
+default 256 MB on their own: a 12%-hot 10^9-row corpus puts ~10^8 id rows
+in one reducer). Appends one markdown block to BENCH/ADDENDA.md and prints
+one JSON line.
 """
 
 from __future__ import annotations
@@ -71,9 +75,18 @@ def task_rows(df) -> dict:
 def main() -> None:
     spark = get_spark("ann-skew", cores=CORES, shuffle_partitions=32)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    # probe corpus is small; production hits the default 256m threshold
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    # scaled-down AQE knobs (see module docstring): no input-byte coalescing
+    # (production-sized inputs never coalesce; here coalescing would merge
+    # the whole byte-small join into ONE task and mask everything).
+    # The skew thresholds are FORCED low for the "forced" arm because of the
+    # probe's central finding: bucket skew is QUADRATIC in bucket share, so
+    # a 12%-hot bucket is ~25x the median in join-output rows but only ~2x
+    # in the map-output bytes AQE's detector actually inspects — stock
+    # factor-5 detection never fires on this join at any scale ratio.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1k")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4k")
     if not os.path.isdir(SRC):
         build_corpus(spark)
     emb = spark.read.parquet(SRC)
@@ -129,13 +142,20 @@ def main() -> None:
             ).alias("tb"),
         ).select(idc, "tb.tbl", "tb.bkt")
 
-    dists, walls = {}, {"off": [], "on": []}
-    for key, on in (("off", False), ("on", True)):
+    dists, walls = {}, {"off": [], "forced": []}
+    for key, on in (("off", False), ("forced", True)):
         aqe_skew(on)
         dists[key] = task_rows(bucket_join())
+    # the stage that does the O(dim) work: candidates AFTER the
+    # (query_id, neighbor_id) dedup re-key — uniform by construction, which
+    # is the engine's structural answer to bucket skew
+    aqe_skew(False)
+    dists["scoring_stage"] = task_rows(
+        bucket_join().dropDuplicates(["query_id", "neighbor_id"])
+    )
     # interleaved wall-time reps of the FULL operator (join+dedup+cosine)
     for _ in range(REPS):
-        for key, on in (("off", False), ("on", True)):
+        for key, on in (("off", False), ("forced", True)):
             aqe_skew(on)
             t0 = time.time()
             lsh_topk(
@@ -154,11 +174,12 @@ def main() -> None:
         "cores": CORES,
         "hot_bucket_share": round(hot_share, 4),
         "join_task_rows_aqe_off": dists["off"],
-        "join_task_rows_aqe_on": dists["on"],
+        "join_task_rows_aqe_forced": dists["forced"],
+        "scoring_stage_task_rows": dists["scoring_stage"],
         "lsh_topk_sec_aqe_off": walls["off"],
-        "lsh_topk_sec_aqe_on": walls["on"],
+        "lsh_topk_sec_aqe_forced": walls["forced"],
         "lsh_topk_sec_best_off": min(walls["off"]),
-        "lsh_topk_sec_best_on": min(walls["on"]),
+        "lsh_topk_sec_best_forced": min(walls["forced"]),
     }
     print(json.dumps(result))
 
@@ -168,21 +189,29 @@ def main() -> None:
 Planted skew: {HOT:,} of {N:,} vectors ({HOT * 100 // N}%) clustered around one
 direction — the hottest (tbl, bkt) key holds {result['hot_bucket_share'] * 100:.1f}% of each
 hash table. Queries≈corpus (near-dup shape, bucket join cannot broadcast),
-{CORES} cores, 32 shuffle partitions, bits={BITS} tables={TABLES}; skew threshold
-lowered to 8 MB because the probe corpus is small (at 10^9+ vectors the hot
-partition passes the default 256 MB on its own). Per-task rows of the
-id-only bucket-join output (candidate emission is row-linear):
+{CORES} cores, 32 shuffle partitions, bits={BITS} tables={TABLES}. Per-task rows
+(candidate emission is row-linear):
 
-| AQE skew-join | max rows/task | median rows/task | straggler ratio | lsh_topk wall (best of {REPS}) |
+| stage | max rows/task | median rows/task | straggler ratio | lsh_topk wall (best of {REPS}) |
 |---|---|---|---|---|
-| off | {dists['off']['max_rows']:,} | {dists['off']['median_rows']:,} | {dists['off']['skew_ratio']}x | {min(walls['off'])}s |
-| on | {dists['on']['max_rows']:,} | {dists['on']['median_rows']:,} | {dists['on']['skew_ratio']}x | {min(walls['on'])}s |
+| bucket join, AQE skew off | {dists['off']['max_rows']:,} | {dists['off']['median_rows']:,} | {dists['off']['skew_ratio']}x | {min(walls['off'])}s |
+| bucket join, AQE skew FORCED (factor 1.2) | {dists['forced']['max_rows']:,} | {dists['forced']['median_rows']:,} | {dists['forced']['skew_ratio']}x | {min(walls['forced'])}s |
+| scoring stage (post-dedup re-key) | {dists['scoring_stage']['max_rows']:,} | {dists['scoring_stage']['median_rows']:,} | {dists['scoring_stage']['skew_ratio']}x | — |
 
-All reps (interleaved off/on): off={walls['off']} on={walls['on']}. The id-only
-exchange keeps the skewed partition cheap to split (no vectors ride it —
-test_plans.py pins that), so AQE slices the hot reducer into ~advisory-sized
-tasks; the post-dedup cosine stage re-keys on (query_id, neighbor_id), which
-the hot bucket spreads uniformly by construction.
+All wall reps (interleaved): off={walls['off']} forced={walls['forced']}.
+
+Findings, in scale order: (1) bucket-join skew is QUADRATIC in the bucket
+share — the 12%-hot bucket is {dists['off']['skew_ratio']}x the median in join-output rows but
+only ~2x in the map-output bytes AQE inspects, so stock skew detection
+(factor 5) never fires on this join; it must be forced (factor ~1.2), and
+even then splitting one side caps the hot task only linearly. (2) The
+engine's structural mitigations are what actually hold at 100 TB: the
+exchange is id-only (a {dists['off']['skew_ratio']}x straggler over ~20-byte rows is cheap pair
+emission, not vector movement — pinned in test_plans.py), and the O(dim)
+cosine work runs AFTER dropDuplicates re-keys on (query_id, neighbor_id),
+which is uniform by construction ({dists['scoring_stage']['skew_ratio']}x above). (3) The design dial
+for the residual emission straggler is bits/tables (bucket granularity),
+not AQE.
 """
     with open(os.path.join(_HERE, "BENCH", "ADDENDA.md"), "a") as f:
         f.write(block)
