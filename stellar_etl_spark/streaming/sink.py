@@ -383,6 +383,13 @@ class IcebergMergeSink:
         df = key_precedence_dedup(df, self.keys, self.order_cols)
         view = f"_merge_src_{epoch_id}"
         df.createOrReplaceTempView(view)
+        spark.sql(self.merge_statement(view))
+        spark.catalog.dropTempView(view)
+
+    def merge_statement(self, view: str) -> str:
+        """The MERGE INTO text for one micro-batch view — pure function of
+        (table, keys, order_cols) so the statement is unit-testable without
+        Iceberg jars (tests/test_streaming.py::test_merge_statement_text)."""
         on = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)
         # order_cols precedence must hold ACROSS batches too, not just inside
         # one — a conditional matched clause keeps e.g. a re-emitted
@@ -393,16 +400,13 @@ class IcebergMergeSink:
             if cond is None
             else f"WHEN MATCHED AND {cond} THEN UPDATE SET *"
         )
-        spark.sql(
-            f"""
+        return f"""
             MERGE INTO {self.table} t
             USING {view} s
             ON {on}
             {matched}
             WHEN NOT MATCHED THEN INSERT *
             """
-        )
-        spark.catalog.dropTempView(view)
 
 
 def _read_lineage(path: str) -> list[dict]:

@@ -624,6 +624,26 @@ def test_merge_condition_honors_order_cols(spark, tmp_path):
     assert by_key[("c", 0)][2] == "c2"
 
 
+def test_merge_statement_text():
+    """The Iceberg MERGE statement is a pure function of the sink config —
+    unit-testable without Iceberg jars. With order_cols the matched clause
+    must be conditional (cross-batch precedence, ADVICE r4); without, it is
+    the plain latest-batch-wins upsert."""
+    from stellar_etl_spark.streaming.sink import IcebergMergeSink
+
+    plain = IcebergMergeSink("cat.db.t", ("conv_id", "turn_idx")).merge_statement("v")
+    assert "WHEN MATCHED THEN UPDATE SET *" in plain
+    assert "WHEN NOT MATCHED THEN INSERT *" in plain
+    assert "t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx" in plain
+
+    ordered = IcebergMergeSink(
+        "cat.db.t", ("conv_id",), order_cols=("first_seen_neg_ts",)
+    ).merge_statement("v")
+    assert "WHEN MATCHED AND (NOT" in ordered
+    assert "t.first_seen_neg_ts" in ordered and "s.first_seen_neg_ts" in ordered
+    assert "IS NOT DISTINCT FROM" in ordered
+
+
 def test_sink_meta_mismatch_raises(spark, tmp_path):
     """Re-exporting into an existing sink path with a different key set or
     format must raise, not silently leave stale metadata (ADVICE r3)."""
