@@ -96,6 +96,9 @@ def main() -> None:
         "query_spread": {
             n: round(max(ts) - min(ts), 3) for n, ts in query_reps.items() if len(ts) > 1
         },
+        # headline for cross-round comparison: rep passes inflate the wall
+        # (`value`), so the comparable number is the best-of sum
+        "sum_best_of_sec": round(sum(per_query.values()), 3),
         "probe_sec": probe_secs,
     }
 

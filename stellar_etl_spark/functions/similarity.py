@@ -22,6 +22,22 @@ _EPS = 1e-12
 
 
 def _dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns via the higher-order
+    ``zip_with`` + ``aggregate`` fold.
+
+    Keep this form: a dim-unrolled multiply-add chain of ``GetArrayItem``
+    terms (the "compile the inner loop" instinct) was built and MEASURED
+    SLOWER in every realistic plan shape on this build — 6-8x slower for
+    multi-table LSH signatures (a tables*bits*dim-term projection exceeds
+    what whole-stage codegen will take on), 4-10x slower in interpreted
+    stages (BroadcastNestedLoopJoin scoring, generator input expressions —
+    no codegen, no subexpression elimination, ~4 boxed node-evals per
+    element vs the fold's tight loop), and only ~1.5x faster in the one
+    narrow case of a single signature directly over a scan. See
+    BENCH/ADDENDA.md "Unrolled dot kernel: negative result". The effective
+    O(dim) lever is hoisting NORMS out of per-pair scoring (O((n+q)d)
+    instead of O(nqd)) — done in every scoring join below — and keeping
+    vectors off the shuffles, not unrolling the fold."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -52,17 +68,26 @@ def cosine_topk(
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries`` must be small (broadcast); corpus is scanned once. Ties break
-    on neighbor id for deterministic, replayable output."""
+    on neighbor id for deterministic, replayable output. Norms are hoisted
+    to one per vector row — O((n+q)d) — instead of recomputed inside every
+    pair's cosine — O(nqd); same values, so sims are unchanged (the scoring
+    stage sits over a non-equi BroadcastNestedLoopJoin, which this build
+    does not whole-stage-codegen, so per-pair folds are interpreted and
+    worth 3x here)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qvec")
-    )
+    ).withColumn("_qn", _norm(F.col("qvec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cvec")
-    )
+    ).withColumn("_cn", _norm(F.col("cvec")))
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (F.col("_qn") * F.col("_cn") + F.lit(_EPS)),
+            6,
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -157,7 +182,9 @@ def embedding_near_dups(
 def hyperplane_signature(vec: Column, dim: int, bits: int = 16, seed: int = 42) -> Column:
     """Random-hyperplane LSH signature: bit b = sign(<v, h_b>) where h_b is a
     deterministic pseudo-random ±1 hyperplane derived from (seed, b, i).
-    Pure column ops; the 'planes' never materialize."""
+    Pure column ops; the 'planes' never materialize. The per-plane fold is
+    deliberately the HOF form — see :func:`_dot` for the measured negative
+    result on unrolling it."""
     def signs(b: int):
         return F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
@@ -251,12 +278,15 @@ def lsh_topk(
             ).alias("tb"),
         ).select(idc, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
 
+    # norms hoisted: one per vector row (computed scan-side, rejoined with
+    # the vector for the verified candidates) instead of two per candidate
+    # pair — same values, so sims are bit-unchanged
     c_vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cvec")
-    )
+    ).withColumn("_cn", _norm(F.col("cvec")))
     q_vecs = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qvec")
-    )
+    ).withColumn("_qn", _norm(F.col("qvec")))
     c = sigs(c_vecs, "neighbor_id", "cvec")
     q = sigs(q_vecs, "query_id", "qvec")
     if probe_hamming > 0:
@@ -288,7 +318,11 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("_qn") * F.col("_cn") + F.lit(_EPS)),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -380,10 +414,10 @@ def ivf_topk(
     picks a shuffle join instead of blowing the broadcast."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cvec")
-    )
+    ).withColumn("_cn", _norm(F.col("cvec")))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qvec")
-    )
+    ).withColumn("_qn", _norm(F.col("qvec")))
     med = (
         c.withColumn(
             "_r", F.md5(F.concat(F.lit(f"{seed}:"), F.col("neighbor_id").cast("string")))
@@ -467,7 +501,11 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("_qn") * F.col("_cn") + F.lit(_EPS)),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -495,14 +533,19 @@ def lsh_topk_portable(
     planes = portable_planes(dim, bits, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cvec")
-    ).withColumn("bucket", planes_signature(F.col("cvec"), planes))
+    ).withColumn("bucket", planes_signature(F.col("cvec"), planes)).withColumn(
+        "_cn", _norm(F.col("cvec"))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qvec")
-    ).withColumn("bucket", planes_signature(F.col("qvec"), planes))
+    ).withColumn("bucket", planes_signature(F.col("qvec"), planes)).withColumn(
+        "_qn", _norm(F.col("qvec"))
+    )
     masks = _probe_masks(bits, probe_hamming)
     q = q.select(
         "query_id",
         "qvec",
+        "_qn",
         F.explode(
             F.array(*[F.col("bucket").bitwiseXOR(F.lit(m).cast("long")) for m in masks])
         ).alias("bucket"),
@@ -512,7 +555,11 @@ def lsh_topk_portable(
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (F.col("_qn") * F.col("_cn") + F.lit(_EPS)),
+            6,
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

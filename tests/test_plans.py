@@ -237,3 +237,41 @@ def test_ivf_corpus_assignment_narrow(spark):
                 assert "msim" not in b, f"assignment Exchange survived:\n{b}"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_scoring_norm_hoist_bitexact(spark):
+    """The ANN scoring joins hoist each vector's norm to one per row
+    (O((n+q)d)) instead of re-folding both norms inside every pair's cosine
+    (O(nqd)). Values must be BIT-identical to the naive per-pair cosine —
+    same fold, same operand order — or oracle hashes and rank ties would
+    drift. (An unrolled multiply-add dot kernel was also tried and measured
+    SLOWER in every realistic plan shape — see similarity._dot's docstring;
+    this hoist is the one that stays.)"""
+    import struct
+
+    from stellar_etl_spark.functions import similarity as S
+    from stellar_etl_spark.functions.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    got = cosine_topk(emb, q, k=5)
+
+    qv = q.select(F.col("vec_id").alias("query_id"), S.as_double_array(F.col("embedding")).alias("qvec"))
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), S.as_double_array(F.col("embedding")).alias("cvec"))
+    naive = (
+        cv.join(F.broadcast(qv), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(S.cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+        )
+    )
+    want = {
+        (r["query_id"], r["neighbor_id"]): r["sim"] for r in naive.collect()
+    }
+    rows = got.collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert struct.pack("<d", r["sim"]) == struct.pack(
+            "<d", want[(r["query_id"], r["neighbor_id"])]
+        )
