@@ -202,8 +202,10 @@ def main() -> None:
     # regression in the cross-round comparison.
     wall = time.time() - t0
     extra_rep_sec = sum(sum(ts) - min(ts) for ts in query_reps.values())
+    # the per-pass quiet probes are also measurement overhead r1-r4 didn't
+    # have — subtract them all (probes don't exist in a plain suite pass)
     result["wall_sec"] = round(wall, 3)
-    result["value"] = round(wall - extra_rep_sec, 3)
+    result["value"] = round(wall - extra_rep_sec - sum(probe_secs), 3)
     spark.stop()
     print(json.dumps(result))
 

@@ -40,11 +40,13 @@ import pyspark.sql.functions as F
 from stellar_etl_spark.session import get_spark
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-SRC = "/tmp/spark_graft_ann_skew_src"
 CORES = int(os.environ.get("SPARK_GRAFT_SKEW_CORES", "16"))
 REPS = int(os.environ.get("SPARK_GRAFT_SKEW_REPS", "3"))
 N, DIM, HOT = 12_000, 32, 1_500
 BITS, TABLES = 8, 4
+# cache key carries the generation params — a param change must regenerate,
+# not silently measure the stale corpus under the new labels
+SRC = f"/tmp/spark_graft_ann_skew_src_n{N}_d{DIM}_h{HOT}"
 
 
 def build_corpus(spark) -> None:

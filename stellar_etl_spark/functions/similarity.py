@@ -451,7 +451,10 @@ def ivf_topk(
         # orderBy(desc(msim), asc(list_id)). F.get returns NULL past the
         # array end (corpus smaller than n_lists); coalesce to -2.0 keeps
         # any real cosine (>= -1) winning over a missing slot.
-        j = df.crossJoin(F.broadcast(med_arr)).withColumn("_cnorm", _norm(F.col(vc)))
+        # reuse the hoisted per-row norm (_cn, defined once where c is
+        # built) rather than defining the same fold a second time — a tweak
+        # to one copy would silently desync assignment from scoring
+        j = df.crossJoin(F.broadcast(med_arr)).withColumn("_cnorm", F.col("_cn"))
         best = F.array_max(
             F.array(
                 *[

@@ -225,7 +225,7 @@ def main(argv: list[str] | None = None) -> int:
         # evicts once the watermark passes first-seen ts + delay, so a
         # conversation resuming AFTER eviction re-emits into a later epoch —
         # the sink must therefore merge EARLIEST-ts-wins, not
-        # latest-epoch-wins; first_seen_neg_ts gives that under the sink's
+        # latest-epoch-wins; first_seen_neg_us gives that under the sink's
         # descending order_cols precedence.
         import pyspark.sql.functions as F
 
@@ -236,8 +236,12 @@ def main(argv: list[str] | None = None) -> int:
         # the epoch-second oracle-parity convention), and whole-second
         # flooring would tie a post-eviction re-emission with the true
         # first-seen row inside the same second, letting epoch-desc pick the
-        # later one (ADVICE r4)
-        return out.withColumn("first_seen_neg_ts", -F.unix_micros(F.col("ts")))
+        # later one (ADVICE r4). Named *_neg_us (not the earlier *_neg_ts,
+        # which held NEGATED SECONDS): a sink written at the seconds scale
+        # must not silently merge with micros-scale rows — every old row
+        # would out-rank every new one — so the rename makes a pre-upgrade
+        # sink resume fail loudly on the order_cols meta mismatch instead.
+        return out.withColumn("first_seen_neg_us", -F.unix_micros(F.col("ts")))
 
     raw_extractors = {
         "export_turns": turns_ex,
@@ -336,7 +340,7 @@ def main(argv: list[str] | None = None) -> int:
         sink = IdempotentSink(
             args.sink,
             keys,
-            order_cols=("first_seen_neg_ts",),
+            order_cols=("first_seen_neg_us",),
             output_partitions=out_parts,
             fmt=args.format,
         )

@@ -317,7 +317,7 @@ def merge_update_condition(
     ``desc`` puts nulls last in Spark). Without this, an unconditional
     UPDATE makes cross-batch precedence latest-batch-wins regardless of
     order_cols, silently inverting e.g. export_dedup's
-    first_seen_neg_ts-beats-recency contract (ADVICE r4). Ties fall through
+    first_seen_neg_us-beats-recency contract (ADVICE r4). Ties fall through
     to update — the later batch's row wins, mirroring the local sink's
     epoch-desc tiebreak. Returns None when order_cols is empty
     (unconditional update, pure latest-batch-wins)."""

@@ -637,10 +637,10 @@ def test_merge_statement_text():
     assert "t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx" in plain
 
     ordered = IcebergMergeSink(
-        "cat.db.t", ("conv_id",), order_cols=("first_seen_neg_ts",)
+        "cat.db.t", ("conv_id",), order_cols=("first_seen_neg_us",)
     ).merge_statement("v")
     assert "WHEN MATCHED AND (NOT" in ordered
-    assert "t.first_seen_neg_ts" in ordered and "s.first_seen_neg_ts" in ordered
+    assert "t.first_seen_neg_us" in ordered and "s.first_seen_neg_us" in ordered
     assert "IS NOT DISTINCT FROM" in ordered
 
 
