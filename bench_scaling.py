@@ -135,6 +135,32 @@ def quiet_probe() -> float:
     return json.loads(lines[-1][len("PROBE "):])["turns_per_sec"]
 
 
+def disk_probe() -> float:
+    """Sequential-write bandwidth of the sink filesystem (512 MB + fsync to
+    /tmp, MB/s). The stream path at 4N is sink-write-bound, and the CPU
+    probe is blind to disk congestion: the r5 first scaling run passed CPU
+    probes at 0.97-1.03M turns/s yet measured stream-4N at 35-39k turns/s
+    vs 60-70k in r4's window — a disk-congested neighbor halves exactly the
+    level that writes 4x faster. Gate on BOTH signals."""
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_disk_probe.bin")
+    buf = os.urandom(4 << 20)
+    t0 = time.time()
+    try:
+        with open(path, "wb") as f:
+            for _ in range(128):
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+        return round(512 / (time.time() - t0), 1)
+    finally:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+
 def pregenerate() -> None:
     code = f"""
 from stellar_etl_spark.session import get_spark
@@ -177,16 +203,28 @@ def main() -> None:
         pregenerate()
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     threshold = float(os.environ.get("SPARK_GRAFT_QUIET_THRESHOLD", "400000"))
+    disk_threshold = float(os.environ.get("SPARK_GRAFT_DISK_QUIET_MBPS", "250"))
     retries = int(os.environ.get("SPARK_GRAFT_QUIET_RETRIES", "3"))
     probes: list[float] = []
+    disk_probes: list[float] = []
 
     def quiet_gate() -> float:
         v = 0.0
         for attempt in range(retries):
             v = quiet_probe()
+            d = disk_probe()
             probes.append(v)
-            print(json.dumps({"probe_turns_per_sec": v, "quiet": v >= threshold}))
-            if v >= threshold:
+            disk_probes.append(d)
+            print(
+                json.dumps(
+                    {
+                        "probe_turns_per_sec": v,
+                        "disk_mbps": d,
+                        "quiet": v >= threshold and d >= disk_threshold,
+                    }
+                )
+            )
+            if v >= threshold and d >= disk_threshold:
                 return v
             time.sleep(60)
         return v  # proceed anyway; the probe readings are published
@@ -229,6 +267,8 @@ def main() -> None:
         "all_stream_4n": [r["stream_turns_per_sec"] for r in hi_runs],
         "quiet_probes": probes,
         "quiet_threshold": threshold,
+        "disk_probes_mbps": disk_probes,
+        "disk_threshold_mbps": disk_threshold,
     }
     print(json.dumps(result))
 
@@ -249,10 +289,13 @@ single JVM hits GC/allocation contention real clusters don't have).
 Per level: cluster warm-up, then the job twice — warm (second) run reported,
 since a long-running streaming cluster pays JIT once, not per window.
 
-Noise protocol: quiet-window gate (turns-only 16-core probe, quiet >=
-{int(result['quiet_threshold']):,} turns/s, 60 s backoff) before each rep pair; reps
-INTERLEAVED (N, 4N, N, 4N, ...); best-of across reps kept per metric.
-Probe readings this run: {[f'{p:,.0f}' for p in probes]}.
+Noise protocol: quiet-window gate before each rep pair — CPU (turns-only
+16-core probe, quiet >= {int(result['quiet_threshold']):,} turns/s) AND sink-disk
+sequential-write bandwidth (>= {int(disk_threshold)} MB/s; the stream-4N level is
+sink-write-bound, and disk congestion is invisible to the CPU probe) —
+with 60 s backoff; reps INTERLEAVED (N, 4N, N, 4N, ...); best-of across
+reps kept per metric. CPU probes this run: {[f'{p:,.0f}' for p in probes]};
+disk probes (MB/s): {disk_probes}.
 
 ## PRIMARY: end-to-end streaming export scaling ({k_lo} vs {k_hi} executors)
 
