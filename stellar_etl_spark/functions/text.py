@@ -117,6 +117,38 @@ def quality_score(col: Column) -> Column:
     return F.round((length_term * 0.4 + noise_term * 0.4 + prose_term * 0.2), 6)
 
 
+def uniq_word_ratio(col: Column) -> Column:
+    """Distinct-word fraction of the normalized text — the vocabulary-level
+    repetition signal of Gopher-style quality filters (heavily repeated
+    vocabulary => low ratio). Pure array arithmetic, no shuffle; empty docs
+    score 1.0 (one empty word, not penalized)."""
+    words = F.split(normalized(col), " ")
+    return F.round(
+        F.size(F.array_distinct(words)).cast("double")
+        / F.greatest(F.size(words), F.lit(1)),
+        6,
+    )
+
+
+def ngram_repetition(df, text_col: str = "text", id_col: str = "doc_id", k: int = 2):
+    """Per-document share of word k-grams taken by the single most frequent
+    k-gram (the Gopher top-n-gram repetition rule). Returns (id_col,
+    top_gram_share).
+
+    Relational shape on purpose: posexplode the k-grams, hash-aggregate
+    counts per (doc, gram), then max/total per doc — two map-side-combining
+    aggregations that scale as shuffles keyed by (doc, gram), instead of an
+    O(len^2) per-row interpreted HOF scan (the measured-28x-slower path for
+    shingle work, see operators/dedup.py minhash notes)."""
+    grams = df.select(
+        id_col, F.posexplode(shingles(F.col(text_col), k)).alias("pos", "gram")
+    )
+    counts = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.groupBy(id_col).agg(
+        F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias("top_gram_share")
+    )
+
+
 # --- fingerprinting --------------------------------------------------------
 def normalized(col: Column) -> Column:
     """Canonical text form for content identity: lowercase, punctuation

@@ -1021,7 +1021,7 @@ FROM scored
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     feats = textfn.quality_features(F.col("text"))
-    return d.select(
+    base = d.select(
         "doc_id",
         "lang",
         F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_chars_calc"),
@@ -1029,7 +1029,12 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
         F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
         textfn.quality_score(F.col("text")).alias("quality"),
+        textfn.uniq_word_ratio(F.col("text")).alias("uniq_word_ratio"),
     )
+    # Gopher-style top-2-gram repetition share (relational k-gram counting —
+    # see functions/text.py:ngram_repetition for the scale rationale).
+    rep = textfn.ngram_repetition(d, text_col="text", id_col="doc_id", k=2)
+    return base.join(rep.withColumnRenamed("top_gram_share", "top_bigram_share"), "doc_id")
 
 
 def _sql_all_stopwords() -> str:
@@ -1053,14 +1058,36 @@ WITH f AS (
     ELSE 0.0 END AS stopword_ratio
   FROM documents
 )
-SELECT doc_id, lang, n_chars AS n_chars_calc, n_tokens,
+, words AS (
+  SELECT doc_id, regexp_split_to_array({_SQL_NORM}, ' ') AS w FROM documents
+), grams AS (
+  -- mirror functions/text.py:shingles(k=2): docs of <= 2 words yield ONE
+  -- whole-text gram, else the n-1 sliding bigrams
+  SELECT doc_id,
+    CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+    END AS g
+  FROM words
+), gcnt AS (
+  SELECT doc_id, gram, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+  GROUP BY 1, 2
+), rep AS (
+  SELECT doc_id, round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_bigram_share
+  FROM gcnt GROUP BY doc_id
+)
+SELECT f.doc_id, lang, n_chars AS n_chars_calc, n_tokens,
   round(punct_ratio, 6) AS punct_ratio,
   round(stopword_ratio, 6) AS stopword_ratio,
   round(
     least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4
     + greatest(0.0, 1.0 - punct_ratio * 2 - upper_ratio) * 0.4
-    + least(stopword_ratio * 4, 1.0) * 0.2, 6) AS quality
+    + least(stopword_ratio * 4, 1.0) * 0.2, 6) AS quality,
+  round(CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1), 6) AS uniq_word_ratio,
+  rep.top_bigram_share
 FROM f
+JOIN words USING (doc_id)
+JOIN rep USING (doc_id)
 """
 
 

@@ -65,3 +65,24 @@ def test_shingles(spark):
     assert r == ["a b c", "b c d"]
     short = _one(spark, "a b").select(T.shingles(F.col("text"), 3).alias("s")).collect()[0]["s"]
     assert short == ["a b"]
+
+
+def test_repetition_signals(spark):
+    # uniq_word_ratio: distinct words / total words on the normalized text
+    df = spark.createDataFrame(
+        [("a a a a", 0.25), ("a b c d", 1.0), ("Hello, hello world!", 0.666667), ("", 1.0)],
+        "text string, want double",
+    )
+    got = df.select(T.uniq_word_ratio(F.col("text")).alias("r"), "want").collect()
+    assert all(abs(r["r"] - r["want"]) < 1e-9 for r in got), [(r["r"], r["want"]) for r in got]
+
+    # top_gram_share: most frequent bigram's share of all bigrams;
+    # docs of <= k words degenerate to one whole-text gram (share 1.0)
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "x")],
+        "doc_id long, text string",
+    )
+    rep = {r["doc_id"]: r["top_gram_share"] for r in T.ngram_repetition(docs, k=2).collect()}
+    assert rep[1] == 1.0  # "a a" x3 of 3
+    assert abs(rep[2] - 0.333333) < 1e-6  # "a b","b c","c d" each 1 of 3
+    assert rep[3] == 1.0  # single whole-text gram
