@@ -386,3 +386,55 @@ def simhash_near_dups(
     return cands.select(
         "id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# Cluster assignment: the step AFTER pair generation in a dedup pipeline —
+# near-dup pairs form a graph; keeping one canonical doc per CONNECTED
+# COMPONENT (not per pair) is what actually removes transitive duplicate
+# chains (A~B, B~C, A!~C) from a training corpus.
+# --------------------------------------------------------------------------
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iters: int = 25
+) -> DataFrame:
+    """(id, cluster_id): connected components of the undirected pair graph,
+    labeled by each component's minimum id.
+
+    Min-label propagation: every node starts labeled with itself; each round
+    lowers a node's label to the min over itself and its direct neighbors,
+    converging after O(graph diameter) rounds. Near-dup components are dense
+    (LSH buckets connect most members pairwise — diameter is small and does
+    NOT grow with corpus size), so the loop stays short at 100 TB; each round
+    is one equi-join of the edge list with the label table plus one
+    map-side-combining ``min`` aggregation, both shuffled by node id. The
+    round's result is ``localCheckpoint()``-ed so lineage (and the replayed
+    join cascade) stays O(1) across rounds, and driver-side loop control
+    reads a single converged? scalar per round — row data never collects.
+
+    Raises after ``max_iters`` non-converged rounds instead of returning a
+    partially-propagated (i.e. wrong) clustering. Nodes with no edge are not
+    in the output — singletons are their own trivial cluster by definition.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    labels = sym.select(F.col("u").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(labels.withColumnRenamed("id", "u"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        # sym is symmetric, so every labeled node appears as a v — the inner
+        # join below drops nothing.
+        upd = labels.join(neigh, "id").select(
+            "id", "lbl", F.least("lbl", "nmin").alias("new_lbl")
+        ).localCheckpoint()
+        changed = upd.where(F.col("new_lbl") != F.col("lbl")).limit(1).count()
+        labels = upd.select("id", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            return labels.select("id", F.col("lbl").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "component diameter exceeds the bound; raise max_iters"
+    )

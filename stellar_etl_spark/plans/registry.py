@@ -980,12 +980,9 @@ GROUP BY 1, 2, 3, 4
 """
 
 
-# --- documents: language id -------------------------------------------------
-def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select("doc_id", "lang", textfn.language_id(F.col("text")).alias("lang_pred"))
-
-
+# --- documents: language id (folded into doc_quality's lang_pred column —
+# driver-window economy; the scored-CTE oracle below recomputes the full
+# stopword-overlap argmax) ---------------------------------------------------
 def _sql_lang_score(lang: str) -> str:
     from stellar_etl_spark.functions.text import _STOPWORDS
 
@@ -996,28 +993,12 @@ def _sql_lang_score(lang: str) -> str:
     )
 
 
-SQL_DOC_LANGUAGE_ID = f"""
-WITH scored AS (
-  SELECT doc_id, lang,
-    list_aggregate([
-      {{'score': {_sql_lang_score('de')}, 'lang': 'de'}},
-      {{'score': {_sql_lang_score('en')}, 'lang': 'en'}},
-      {{'score': {_sql_lang_score('es')}, 'lang': 'es'}},
-      {{'score': {_sql_lang_score('fr')}, 'lang': 'fr'}}
-    ], 'max') AS best
-  FROM documents
-)
-SELECT doc_id, lang,
-  CASE WHEN best.score >= 1 THEN best.lang ELSE 'und' END AS lang_pred
-FROM scored
-"""
-
-
-# --- documents: quality + token stats ---------------------------------------
-# ONE entry hash-checks both the quality-scoring and token-counting column
-# functions (merged from the former separate doc_token_stats query —
-# driver-window economy, r04 verdict ask #1; one documents scan instead of
-# two). lang/n_chars come from the token-stats half.
+# --- documents: quality + token stats + language id -------------------------
+# ONE entry hash-checks the quality-scoring, token-counting, repetition and
+# language-ID column functions (merged from the former separate
+# doc_token_stats and doc_language_id queries — driver-window economy; one
+# documents scan instead of three). lang/n_chars come from the token-stats
+# half; lang_pred is the stopword-overlap argmax.
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     feats = textfn.quality_features(F.col("text"))
@@ -1030,6 +1011,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
         textfn.quality_score(F.col("text")).alias("quality"),
         textfn.uniq_word_ratio(F.col("text")).alias("uniq_word_ratio"),
+        textfn.language_id(F.col("text")).alias("lang_pred"),
     )
     # Gopher-style top-2-gram repetition share (relational k-gram counting —
     # see functions/text.py:ngram_repetition for the scale rationale).
@@ -1075,6 +1057,15 @@ WITH f AS (
 ), rep AS (
   SELECT doc_id, round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_bigram_share
   FROM gcnt GROUP BY doc_id
+), langp AS (
+  SELECT doc_id,
+    list_aggregate([
+      {{'score': {_sql_lang_score('de')}, 'lang': 'de'}},
+      {{'score': {_sql_lang_score('en')}, 'lang': 'en'}},
+      {{'score': {_sql_lang_score('es')}, 'lang': 'es'}},
+      {{'score': {_sql_lang_score('fr')}, 'lang': 'fr'}}
+    ], 'max') AS best
+  FROM documents
 )
 SELECT f.doc_id, lang, n_chars AS n_chars_calc, n_tokens,
   round(punct_ratio, 6) AS punct_ratio,
@@ -1084,10 +1075,12 @@ SELECT f.doc_id, lang, n_chars AS n_chars_calc, n_tokens,
     + greatest(0.0, 1.0 - punct_ratio * 2 - upper_ratio) * 0.4
     + least(stopword_ratio * 4, 1.0) * 0.2, 6) AS quality,
   round(CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1), 6) AS uniq_word_ratio,
-  rep.top_bigram_share
+  rep.top_bigram_share,
+  CASE WHEN best.score >= 1 THEN best.lang ELSE 'und' END AS lang_pred
 FROM f
 JOIN words USING (doc_id)
 JOIN rep USING (doc_id)
+JOIN langp USING (doc_id)
 """
 
 
@@ -1106,6 +1099,67 @@ SQL_DOC_EXACT_DEDUP = f"""
 SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id, CAST(count(*) AS BIGINT) AS n_docs
 FROM documents
 GROUP BY {_SQL_NORM}
+"""
+
+
+# --- documents: near-dup cluster assignment ---------------------------------
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified MinHash near-dup pair graph —
+    the step a dedup pipeline runs AFTER pair generation: transitive chains
+    (A~B, B~C but A!~C) collapse into one cluster, one canonical doc
+    (the min id) survives, the rest are dropped. Iterative min-label
+    propagation (functions/dedup.py:connected_components), O(diameter)
+    rounds of join+min-agg; the oracle recomputes the exact-Jaccard pair
+    relation and its transitive closure with a recursive CTE, so a wrong
+    component ANYWHERE hash-mismatches."""
+    from stellar_etl_spark.functions.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+    from pyspark.sql import Window as W
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_candidate_pairs(d, min_jaccard=0.4)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(W.partitionBy("cluster_id")).alias("cluster_size"),
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+# Same brute-force exact-Jaccard pair relation as SQL_DOC_MINHASH_PAIRS, then
+# transitive closure via recursive CTE; cluster label = min reachable id.
+SQL_DOC_DUP_CLUSTERS = f"""
+WITH RECURSIVE norm AS (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+         ELSE [array_to_string(w[i+1:i+3], ' ') FOR i IN range(0, len(w)-2)] END AS gs
+  FROM norm
+),
+sets AS (SELECT doc_id, list_distinct(gs) AS gs FROM grams),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.4
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT doc_id, cluster_id,
+  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+  doc_id = cluster_id AS is_canonical
+FROM lbl
 """
 
 
@@ -2037,9 +2091,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "response_ratios": (q_response_ratios, SQL_RESPONSE_RATIOS),
     "time_range": (q_time_range, SQL_TIME_RANGE),
     "batch_bounds": (q_batch_bounds, SQL_BATCH_BOUNDS),
-    "doc_language_id": (q_doc_language_id, SQL_DOC_LANGUAGE_ID),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
+    "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_DUP_CLUSTERS),
     # ANN block stays contiguous and INSIDE the driver window (r04 dropped
     # the two non-brute-force entries by appending them at position 51-52)
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),

@@ -198,3 +198,32 @@ def test_ivf_topk_full_probe_is_exact_and_partial_probe_approximates(spark):
     one = ivf_topk(emb, emb.where("vec_id = 0"), k=5, n_lists=8, n_probe=1).orderBy("rank").collect()
     assert one and one[0]["neighbor_id"] == 1
     assert exact[0] == 1
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A-B-C chain collapses transitively (A!~C directly); D-E separate;
+    F (no edges) absent; labels are the component min; convergence needs
+    diameter rounds (chain diameter 2 here)."""
+    from stellar_etl_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 4)], ["id_a", "id_b"]
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)}
+
+
+def test_connected_components_raises_past_max_iters(spark):
+    from stellar_etl_spark.functions.dedup import connected_components
+
+    # a 6-node path graph needs ~5 propagation rounds; cap at 2 must raise
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], ["id_a", "id_b"]
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=2)
