@@ -1,0 +1,72 @@
+"""Sequence packing: assign documents to fixed token-budget bins — the
+"pack documents into ~N-token training sequences / shards" step of a
+training-data pipeline.
+
+Semantics: documents are laid out on a single deterministic global token
+axis (order: (bucket, md5-order-key, id)); a document belongs to the bin
+containing its START offset, so every bin holds ~``target_tokens`` and the
+boundary document straddles into the next bin (offset-chunked packing).
+Strict greedy first-fit ("close the bin early when the next doc would
+overflow") is a sequential recurrence no window/cumsum can express — the
+offset-chunk relaxation is the distributed-scalable form and is what
+byte/token-offset shard writers do in practice.
+
+Scale shape — a distributed prefix sum, NO global single-task window:
+phase 1 computes cumulative sums inside ``buckets`` hash buckets (a
+partitioned window); phase 2 turns the ``buckets`` per-bucket totals into
+exclusive prefix offsets (a window over exactly ``buckets`` rows — constant
+work at any corpus size) and broadcast-joins them back. The md5-derived
+order key doubles as the bucket source, is engine-portable (a DuckDB oracle
+reproduces the exact bin assignment — tests/test_functions_misc.py), and
+decorrelates bucket fill from ingest order so bucket totals stay balanced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def sequence_pack_bins(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    target_tokens: int = 2048,
+    buckets: int = 64,
+) -> DataFrame:
+    """(id_col, token_col, token_offset, pack_bin): deterministic token-budget
+    bin per document. ``token_offset`` is the document's exclusive start
+    offset on the global token axis; ``pack_bin = token_offset //
+    target_tokens``."""
+    okey = F.md5(F.col(id_col).cast("string"))
+    bucket = F.conv(F.substring(okey, 1, 4), 16, 10).cast("long") % buckets
+    t = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias(token_col),
+        okey.alias("_okey"),
+        bucket.alias("_bucket"),
+    )
+    w_local = (
+        Window.partitionBy("_bucket")
+        .orderBy("_okey", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("_lc", F.sum(token_col).over(w_local))
+    totals = t.groupBy("_bucket").agg(F.sum(token_col).alias("_btot"))
+    # exclusive prefix over the bucket totals: a window over exactly
+    # `buckets` rows — constant-size work regardless of corpus size.
+    w_prefix = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = totals.select(
+        "_bucket", F.coalesce(F.sum("_btot").over(w_prefix), F.lit(0)).alias("_boff")
+    )
+    out = local.join(F.broadcast(prefixes), "_bucket")
+    offset = F.col("_boff") + F.col("_lc") - F.col(token_col)
+    return out.select(
+        id_col,
+        token_col,
+        offset.alias("token_offset"),
+        F.floor(offset / target_tokens).cast("long").alias("pack_bin"),
+    )

@@ -214,3 +214,56 @@ def test_parse_image_header_real_formats(spark):
 
     lg = extract_media_features(df, decoder=legacy).collect()
     assert all(r["codec"] is None and r["width"] == 1 for r in lg)
+
+
+def test_sequence_pack_bins_oracle_and_invariants(spark):
+    """Offset-chunked token packing: bin assignment is hash-checked against a
+    DuckDB single-window recomputation (the distributed two-phase prefix sum
+    must equal the sequential cumsum exactly), and bins partition the token
+    axis: offsets are a permutation of the exclusive cumsum, every bin
+    except the last starts within target of its predecessor."""
+    from stellar_etl_spark.functions.text import token_count
+    from stellar_etl_spark.operators.packing import sequence_pack_bins
+    from tests.oracle_harness import duck_connection, compare
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    got = sequence_pack_bins(d, target_tokens=512, buckets=16)
+    duck = duck_connection(sf)
+    try:
+        r = compare(
+            got,
+            duck,
+            """
+WITH t AS (
+  SELECT doc_id,
+    CAST({ntok} AS BIGINT) AS n_tokens,
+    md5(CAST(doc_id AS VARCHAR)) AS okey,
+    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS BIGINT) % 16 AS bucket
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  coalesce(sum(n_tokens) OVER (ORDER BY bucket, okey, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset,
+  coalesce(sum(n_tokens) OVER (ORDER BY bucket, okey, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS pack_bin
+FROM t
+""".format(
+                ntok="CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
+                "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+            ),
+        )
+        assert r["rows_match"] and r["values_match"], r["first_diff"]
+    finally:
+        duck.close()
+    rows = got.collect()
+    total = sum(x["n_tokens"] for x in rows)
+    offs = sorted(x["token_offset"] for x in rows)
+    # offsets tile the token axis exactly: ends meet starts
+    assert offs[0] == 0 and max(
+        x["token_offset"] + x["n_tokens"] for x in rows
+    ) == total
+    n_bins = max(x["pack_bin"] for x in rows) + 1
+    assert n_bins >= total // 512  # no bin skipped below the last

@@ -275,3 +275,22 @@ def test_scoring_norm_hoist_bitexact(spark):
         assert struct.pack("<d", r["sim"]) == struct.pack(
             "<d", want[(r["query_id"], r["neighbor_id"])]
         )
+
+
+def test_sequence_pack_bins_no_global_window_on_data(spark):
+    """The distributed prefix sum must never sort the full corpus in one
+    task: the per-document cumsum window is partitioned by bucket, the only
+    SinglePartition exchange feeds the buckets-row prefix window (constant
+    size), and the offsets rejoin via broadcast."""
+    from stellar_etl_spark.operators.packing import sequence_pack_bins
+
+    d = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n_tokens")
+    )
+    plan = _plan(sequence_pack_bins(d, buckets=16))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # exactly one single-partition exchange — the 16-row bucket-totals side
+    assert plan.count("Exchange SinglePartition") == 1
+    # the data-side window is hash-partitioned by bucket, so a
+    # hashpartitioning exchange must exist alongside it
+    assert re.search(r"Exchange hashpartitioning\(_bucket", plan)
