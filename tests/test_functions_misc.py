@@ -267,3 +267,64 @@ FROM t
     ) == total
     n_bins = max(x["pack_bin"] for x in rows) + 1
     assert n_bins >= total // 512  # no bin skipped below the last
+
+
+def test_hash_split_deterministic_and_oracle(spark):
+    """Split membership is a pure function of (seed, id): DuckDB recomputes
+    the exact train/val/test assignment; growing the corpus never reassigns
+    an existing id."""
+    from stellar_etl_spark.functions.sampling import hash_split
+    from tests.oracle_harness import duck_connection, compare
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    got = hash_split(d, weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    duck = duck_connection(sf)
+    try:
+        r = compare(
+            got,
+            duck,
+            """
+SELECT doc_id,
+  CASE
+    WHEN u < 0.8 THEN 'train'
+    WHEN u < 0.9 THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM (
+  SELECT doc_id,
+    CAST(('0x' || substring(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS BIGINT)
+      / 4294967296.0 AS u
+  FROM documents
+)
+""",
+        )
+        assert r["rows_match"] and r["values_match"], r["first_diff"]
+    finally:
+        duck.close()
+    # subset stability: the assignment of the first half doesn't depend on
+    # the rest of the corpus being present
+    half = hash_split(d.where("doc_id < 250"), weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    full = {r["doc_id"]: r["split"] for r in got.collect()}
+    assert all(full[r["doc_id"]] == r["split"] for r in half.collect())
+
+
+def test_stratified_sample_exact_counts_and_stability(spark):
+    """ceil(fraction * n) rows per stratum, chosen by smallest unit hash —
+    counts exact, selection deterministic across runs."""
+    from stellar_etl_spark.functions.sampling import stratified_sample
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    import math
+
+    base = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    s = stratified_sample(d, "lang", fraction=0.1)
+    got = {r["lang"]: r["n"] for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {k: math.ceil(v * 0.1) for k, v in base.items()}
+    ids1 = sorted(r["doc_id"] for r in s.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"] for r in stratified_sample(d, "lang", fraction=0.1).select("doc_id").collect()
+    )
+    assert ids1 == ids2
+    assert s.columns == d.columns
