@@ -415,8 +415,13 @@ def connected_components(
     partially-propagated (i.e. wrong) clustering. Nodes with no edge are not
     in the output — singletons are their own trivial cluster by definition.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # Materialize the edge list ONCE: `sym` is re-scanned every round, and
+    # without this the whole upstream pair-generation pipeline (LSH join +
+    # Jaccard verify for near-dup input) would re-execute per iteration.
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint()
     )
     labels = sym.select(F.col("u").alias("id")).distinct().withColumn("lbl", F.col("id"))
     for _ in range(max_iters):

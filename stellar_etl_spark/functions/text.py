@@ -135,17 +135,24 @@ def ngram_repetition(df, text_col: str = "text", id_col: str = "doc_id", k: int 
     k-gram (the Gopher top-n-gram repetition rule). Returns (id_col,
     top_gram_share).
 
-    Relational shape on purpose: posexplode the k-grams, hash-aggregate
-    counts per (doc, gram), then max/total per doc — two map-side-combining
-    aggregations that scale as shuffles keyed by (doc, gram), instead of an
-    O(len^2) per-row interpreted HOF scan (the measured-28x-slower path for
-    shingle work, see operators/dedup.py minhash notes)."""
-    grams = df.select(
-        id_col, F.posexplode(shingles(F.col(text_col), k)).alias("pos", "gram")
-    )
-    counts = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    return counts.groupBy(id_col).agg(
-        F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias("top_gram_share")
+    Relational shape on purpose: k-gram ROWS from posexplode + lead window
+    (functions/dedup.py:shingle_text_rows — same <=k-word single-shingle
+    convention as :func:`shingles`, but whole-stage codegen end-to-end),
+    hash-aggregate counts per (doc, gram), then max/total per doc — the
+    posexplode-of-``shingles()`` form ran the interpreted HOF evaluator
+    inside GenerateExec and measured 5.5 s vs 0.9 s at sf0.1."""
+    from stellar_etl_spark.functions.dedup import shingle_text_rows
+
+    grams = shingle_text_rows(df, text_col=text_col, id_col=id_col, k=k)
+    counts = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.groupBy("id")
+        .agg(
+            F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias(
+                "top_gram_share"
+            )
+        )
+        .withColumnRenamed("id", id_col)
     )
 
 
