@@ -415,14 +415,13 @@ def connected_components(
     partially-propagated (i.e. wrong) clustering. Nodes with no edge are not
     in the output — singletons are their own trivial cluster by definition.
     """
-    # Materialize the edge list ONCE: `sym` is re-scanned every round, and
-    # without this the whole upstream pair-generation pipeline (LSH join +
-    # Jaccard verify for near-dup input) would re-execute per iteration.
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .localCheckpoint()
-    )
+    # Materialize the edge list ONCE, BEFORE the self-union: `sym` is
+    # re-scanned every round, and without a checkpoint the whole upstream
+    # pair-generation pipeline (LSH join + Jaccard verify for near-dup
+    # input) would re-execute per iteration — and a union of two un-
+    # checkpointed branches would even pay that pipeline twice up front.
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = sym.select(F.col("u").alias("id")).distinct().withColumn("lbl", F.col("id"))
     for _ in range(max_iters):
         neigh = (

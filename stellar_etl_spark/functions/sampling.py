@@ -70,7 +70,14 @@ def stratified_sample(
     exact, the chosen set is a stable function of (seed, ids present), and
     any engine can recompute it. One shuffle (rank window on the stratum
     key) — the id/hash ride it, payload columns follow the final semi-join
-    only for the sampled rows."""
+    only for the sampled rows.
+
+    The count is computed in INTEGER arithmetic (fraction as a rational):
+    ``ceil(n * fraction)`` in doubles turns 100 * 0.07 into
+    7.000000000000001 and over-keeps a row."""
+    from fractions import Fraction
+
+    frac = Fraction(fraction).limit_denominator(10**6)
     u = _unit_hash(F.col(id_col), seed)
     ranked = df.select(
         F.col(stratum_col).alias("_stratum"), F.col(id_col), u.alias("_u")
@@ -81,7 +88,9 @@ def stratified_sample(
         ),
     )
     n = Window.partitionBy("_stratum")
+    # exact ceil(n * num / den) via integer ceiling division
+    keep_n = (F.col("_n") * frac.numerator + (frac.denominator - 1)) / frac.denominator
     keep = ranked.withColumn("_n", F.count(F.lit(1)).over(n)).where(
-        F.col("_rnk") <= F.ceil(F.col("_n") * fraction)
+        F.col("_rnk") <= F.floor(keep_n)
     )
     return df.join(keep.select(id_col), id_col, "left_semi")

@@ -239,7 +239,7 @@ def test_sequence_pack_bins_oracle_and_invariants(spark):
             """
 WITH t AS (
   SELECT doc_id,
-    CAST({ntok} AS BIGINT) AS n_tokens,
+    {ntok} AS n_tokens,
     md5(CAST(doc_id AS VARCHAR)) AS okey,
     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS BIGINT) % 16 AS bucket
   FROM documents
@@ -250,10 +250,7 @@ SELECT doc_id, n_tokens,
   coalesce(sum(n_tokens) OVER (ORDER BY bucket, okey, doc_id
     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS pack_bin
 FROM t
-""".format(
-                ntok="CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
-                "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
-            ),
+""".format(ntok=__import__("stellar_etl_spark.plans.registry", fromlist=["x"])._SQL_NTOK),
         )
         assert r["rows_match"] and r["values_match"], r["first_diff"]
     finally:
@@ -265,8 +262,9 @@ FROM t
     assert offs[0] == 0 and max(
         x["token_offset"] + x["n_tokens"] for x in rows
     ) == total
+    # bin of the last-starting doc determines the bin count exactly
     n_bins = max(x["pack_bin"] for x in rows) + 1
-    assert n_bins >= total // 512  # no bin skipped below the last
+    assert n_bins == max(x["token_offset"] for x in rows) // 512 + 1
 
 
 def test_hash_split_deterministic_and_oracle(spark):
@@ -318,10 +316,17 @@ def test_stratified_sample_exact_counts_and_stability(spark):
     d = spark.read.parquet(f"{sf}/documents.parquet")
     import math
 
+    from fractions import Fraction
+
     base = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     s = stratified_sample(d, "lang", fraction=0.1)
     got = {r["lang"]: r["n"] for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
-    assert got == {k: math.ceil(v * 0.1) for k, v in base.items()}
+    fr = Fraction(0.1).limit_denominator(10**6)
+    assert got == {k: math.ceil(v * fr) for k, v in base.items()}
+    # float-ceil regression: 100 * 0.07 == 7.000000000000001 in doubles —
+    # the rational-arithmetic count must keep exactly 7, not 8
+    flat = spark.range(100).select(F.col("id").alias("doc_id"), F.lit("x").alias("g"))
+    assert stratified_sample(flat, "g", fraction=0.07).count() == 7
     ids1 = sorted(r["doc_id"] for r in s.select("doc_id").collect())
     ids2 = sorted(
         r["doc_id"] for r in stratified_sample(d, "lang", fraction=0.1).select("doc_id").collect()
