@@ -33,39 +33,49 @@ def sequence_pack_bins(
     id_col: str = "doc_id",
     target_tokens: int = 2048,
     buckets: int = 64,
+    group_col: str | None = None,
 ) -> DataFrame:
-    """(id_col, token_col, token_offset, pack_bin): deterministic token-budget
-    bin per document. ``token_offset`` is the document's exclusive start
-    offset on the global token axis; ``pack_bin = token_offset //
-    target_tokens``."""
+    """(id_col[, group_col], token_col, token_offset, pack_bin): deterministic
+    token-budget bin per document. ``token_offset`` is the document's
+    exclusive start offset on the global token axis; ``pack_bin =
+    token_offset // target_tokens``. With ``group_col`` (e.g. a train/val
+    split label), the token axis restarts per group, so bins never mix
+    groups — the prefix window is then over ``groups x buckets`` rows,
+    still constant-size."""
+    grp = [group_col] if group_col else []
     okey = F.md5(F.col(id_col).cast("string"))
     bucket = F.conv(F.substring(okey, 1, 4), 16, 10).cast("long") % buckets
     t = df.select(
         F.col(id_col),
+        *grp,
         F.col(token_col).cast("long").alias(token_col),
         okey.alias("_okey"),
         bucket.alias("_bucket"),
     )
     w_local = (
-        Window.partitionBy("_bucket")
+        Window.partitionBy(*grp, "_bucket")
         .orderBy("_okey", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = t.withColumn("_lc", F.sum(token_col).over(w_local))
-    totals = t.groupBy("_bucket").agg(F.sum(token_col).alias("_btot"))
+    totals = t.groupBy(*grp, "_bucket").agg(F.sum(token_col).alias("_btot"))
     # exclusive prefix over the bucket totals: a window over exactly
-    # `buckets` rows — constant-size work regardless of corpus size.
+    # `groups x buckets` rows — constant-size work regardless of corpus size.
     w_prefix = (
-        Window.orderBy("_bucket")
+        (Window.partitionBy(*grp) if grp else Window)
+        .orderBy("_bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prefixes = totals.select(
-        "_bucket", F.coalesce(F.sum("_btot").over(w_prefix), F.lit(0)).alias("_boff")
+        *grp,
+        "_bucket",
+        F.coalesce(F.sum("_btot").over(w_prefix), F.lit(0)).alias("_boff"),
     )
-    out = local.join(F.broadcast(prefixes), "_bucket")
+    out = local.join(F.broadcast(prefixes), [*grp, "_bucket"])
     offset = F.col("_boff") + F.col("_lc") - F.col(token_col)
     return out.select(
         id_col,
+        *grp,
         token_col,
         offset.alias("token_offset"),
         F.floor(offset / target_tokens).cast("long").alias("pack_bin"),
