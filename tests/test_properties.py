@@ -192,3 +192,42 @@ def test_image_header_parser_prefix_totality(payload):
     for magic in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8"):
         out = parse_image_header(magic + payload)
         assert out is None or out[0] in ("png", "jpeg")
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_PROFILE)
+def test_connected_components_matches_union_find(spark, edges):
+    """The distributed min-label propagation must equal a sequential
+    union-find on ANY graph — including multi-edges, both orientations of
+    the same edge, cycles, and long paths."""
+    from stellar_etl_spark.functions.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for node in parent:
+        want[node] = find(node)
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df, max_iters=40).collect()
+    }
+    assert got == want
