@@ -294,3 +294,18 @@ def test_sequence_pack_bins_no_global_window_on_data(spark):
     # the data-side window is hash-partitioned by bucket, so a
     # hashpartitioning exchange must exist alongside it
     assert re.search(r"Exchange hashpartitioning\(_bucket", plan)
+
+
+def test_corpus_pipeline_no_degenerate_joins(spark):
+    """The end-to-end corpus build must never fall into a cartesian or
+    nested-loop join — every join is keyed (fingerprint, id, band key,
+    split/bucket) at any scale."""
+    from stellar_etl_spark.operators.corpus import build_training_corpus
+
+    d = spark.createDataFrame(
+        [(i, f"document number {i} with some shared words of text") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    plan = _plan(build_training_corpus(d, min_quality=0.0, min_jaccard=0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
