@@ -76,6 +76,10 @@ def main() -> None:
 
     listener = MetricsListener()
     spark.streams.addListener(listener)
+    # t_start set BEFORE start(): the first micro-batch can commit before
+    # control returns here, and its timeline offset must not be epoch-absolute.
+    t_start = time.time()
+    t_start_holder[0] = t_start
     q = (
         read_stream(spark, src)
         .writeStream.foreachBatch(fanout)
@@ -84,8 +88,6 @@ def main() -> None:
         .start()
     )
     feeder.start()
-    t_start = time.time()
-    t_start_holder[0] = t_start
     try:
         while time.time() - t_start < DURATION:
             time.sleep(1.0)

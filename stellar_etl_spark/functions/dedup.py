@@ -423,7 +423,11 @@ def connected_components(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = sym.select(F.col("u").alias("id")).distinct().withColumn("lbl", F.col("id"))
-    for _ in range(max_iters):
+    prev = None  # superseded round checkpoint, unpersisted once replaced
+    # max_iters propagation rounds need max_iters + 1 loop passes: detecting
+    # convergence costs a round, and a component of diameter exactly
+    # max_iters makes its last label change IN round max_iters.
+    for _ in range(max_iters + 1):
         neigh = (
             sym.join(labels.withColumnRenamed("id", "u"), "u")
             .groupBy(F.col("v").alias("id"))
@@ -433,11 +437,21 @@ def connected_components(
         # join below drops nothing.
         upd = labels.join(neigh, "id").select(
             "id", "lbl", F.least("lbl", "nmin").alias("new_lbl")
-        ).localCheckpoint()
+        ).localCheckpoint()  # eager: fully materialized before prev is dropped
         changed = upd.where(F.col("new_lbl") != F.col("lbl")).limit(1).count()
         labels = upd.select("id", F.col("new_lbl").alias("lbl"))
+        # The previous round's checkpoint blocks are dead now (this round's
+        # labels derive from `upd`'s own truncated lineage) — drop them
+        # instead of pinning up to max_iters copies of the label table in
+        # executor storage. NEVER unpersist the live `upd`: a localCheckpoint
+        # has no lineage to recompute from.
+        if prev is not None:
+            prev.unpersist()
+        prev = upd
         if changed == 0:
+            e.unpersist()  # the returned labels depend only on `upd`
             return labels.select("id", F.col("lbl").alias("cluster_id"))
+    e.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
         "component diameter exceeds the bound; raise max_iters"

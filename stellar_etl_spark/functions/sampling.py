@@ -18,12 +18,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
+from stellar_etl_spark.functions.dedup import _md5_half
+
 
 def _unit_hash(id_col: Column, seed: str) -> Column:
     """Deterministic uniform [0, 1) draw per id: 32 bits of md5(seed || id).
     Engine-portable (md5 + hex → integer exists everywhere)."""
-    h = F.md5(F.concat(F.lit(seed), F.lit(":"), id_col.cast("string")))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(float(2**32))
+    h = F.concat(F.lit(seed), F.lit(":"), id_col.cast("string"))
+    return _md5_half(h, 1) / F.lit(float(2**32))
 
 
 def hash_split(
@@ -37,7 +39,9 @@ def hash_split(
 
     Narrow projection — no shuffle, no sampling state; membership depends
     only on (seed, id), so adding documents later never moves an existing
-    document between splits."""
+    document between splits. A null id has no stable identity to hash —
+    rather than silently lumping every null-id row into one split, the
+    projection raises at runtime (fix the ids or filter first)."""
     weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
     total = sum(weights.values())
     u = _unit_hash(F.col(id_col), seed)
@@ -53,6 +57,10 @@ def hash_split(
         )
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    expr = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(f"hash_split: null {id_col} has no stable split")),
+    ).otherwise(expr)
     return df.withColumn("split", expr)
 
 
@@ -77,7 +85,19 @@ def stratified_sample(
     7.000000000000001 and over-keeps a row."""
     from fractions import Fraction
 
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    # Human fractions (0.07) become their intended rational (7/100); tiny
+    # rates fall through to a wider denominator instead of collapsing to 0
+    # (Fraction(4e-7).limit_denominator(10**6) == 0 would silently keep
+    # NOTHING). den <= 1e6 keeps n * num inside int64 up to n ~ 9e12 rows
+    # per stratum; the 1e12 fallback covers 1-in-millions rates on small
+    # numerators (num = round(fraction * den) stays tiny there).
     frac = Fraction(fraction).limit_denominator(10**6)
+    if frac == 0:
+        frac = Fraction(fraction).limit_denominator(10**12)
+    if frac == 0:
+        raise ValueError(f"fraction {fraction} below 1e-12 is not supported")
     u = _unit_hash(F.col(id_col), seed)
     ranked = df.select(
         F.col(stratum_col).alias("_stratum"), F.col(id_col), u.alias("_u")
@@ -88,9 +108,14 @@ def stratified_sample(
         ),
     )
     n = Window.partitionBy("_stratum")
-    # exact ceil(n * num / den) via integer ceiling division
-    keep_n = (F.col("_n") * frac.numerator + (frac.denominator - 1)) / frac.denominator
+    # exact ceil(n * num / den) via int64 ceiling division — DIV, not the
+    # Column `/` operator, which is a double Divide and re-introduces the
+    # very rounding this rational form exists to avoid once n * num > 2^53
+    keep_n = F.expr(
+        f"(_n * {frac.numerator}L + {frac.denominator - 1}L)"
+        f" DIV {frac.denominator}L"
+    )
     keep = ranked.withColumn("_n", F.count(F.lit(1)).over(n)).where(
-        F.col("_rnk") <= F.floor(keep_n)
+        F.col("_rnk") <= keep_n
     )
     return df.join(keep.select(id_col), id_col, "left_semi")

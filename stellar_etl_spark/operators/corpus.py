@@ -103,11 +103,18 @@ def write_training_shards(
     """Materialize the packed corpus: text joins the manifest ONCE (the only
     time text moves), shards land partitioned by split with rows ordered by
     their global token offset, so a sequential reader of one split streams
-    documents in packing order."""
+    documents in packing order.
+
+    The task sort leads with ``split``: partitionBy requires child ordering
+    on the partition column, so a token_offset-only sort would make the
+    writer stack its OWN Sort(split) on top (whose spill-merge does not
+    preserve the tie order between equal split keys), and hash
+    repartitioning can co-locate two splits in one task — either way rows
+    could land out of token_offset order."""
     (
         manifest.join(documents.select(id_col, text_col), id_col)
         .repartition("split")
-        .sortWithinPartitions("token_offset")
+        .sortWithinPartitions("split", "token_offset")
         .write.mode("overwrite")
         .partitionBy("split")
         .parquet(out_dir)
