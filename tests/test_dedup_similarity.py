@@ -227,6 +227,13 @@ def test_connected_components_raises_past_max_iters(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iters=2)
+    # a component whose diameter EQUALS max_iters converges (detecting
+    # convergence costs one extra loop pass, not one extra allowed round)
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(edges, max_iters=5).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 7)}
 
 
 def test_ngram_contamination_oracle_and_planted_leak(spark):

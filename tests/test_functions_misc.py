@@ -305,6 +305,13 @@ FROM (
     half = hash_split(d.where("doc_id < 250"), weights={"train": 0.8, "val": 0.1, "test": 0.1})
     full = {r["doc_id"]: r["split"] for r in got.collect()}
     assert all(full[r["doc_id"]] == r["split"] for r in half.collect())
+    # a null id has no stable identity — the projection must raise, not
+    # silently bucket every null-id row into the last split
+    import pytest
+
+    nulls = d.limit(2).select(F.lit(None).cast("string").alias("doc_id"))
+    with pytest.raises(Exception, match="no stable split"):
+        hash_split(nulls).collect()
 
 
 def test_stratified_sample_exact_counts_and_stability(spark):
@@ -327,6 +334,15 @@ def test_stratified_sample_exact_counts_and_stability(spark):
     # the rational-arithmetic count must keep exactly 7, not 8
     flat = spark.range(100).select(F.col("id").alias("doc_id"), F.lit("x").alias("g"))
     assert stratified_sample(flat, "g", fraction=0.07).count() == 7
+    # tiny-fraction regression: Fraction(1e-7).limit_denominator(10**6) == 0
+    # used to silently keep NOTHING; ceil must keep 1 row per stratum
+    assert stratified_sample(flat, "g", fraction=1e-7).count() == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(flat, "g", fraction=0.0)
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(flat, "g", fraction=1.5)
     ids1 = sorted(r["doc_id"] for r in s.select("doc_id").collect())
     ids2 = sorted(
         r["doc_id"] for r in stratified_sample(d, "lang", fraction=0.1).select("doc_id").collect()
