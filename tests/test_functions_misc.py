@@ -57,6 +57,61 @@ def test_media_features_deterministic(spark):
             assert r["duration_sec"] is not None and r["width"] is None
 
 
+def test_resize_images_plumbing_and_passthrough(spark):
+    """Resize is a narrow mapInPandas: images get target dims + a new
+    payload, non-images pass through byte-identical; deterministic."""
+    from stellar_etl_spark.functions.multimodal import resize_images
+
+    media = synth_media_df(spark, n=30)
+    out = resize_images(media, target_w=64, target_h=48)
+    rows = {r["media_id"]: r for r in out.collect()}
+    src = {r["media_id"]: r for r in media.collect()}
+    assert set(rows) == set(src)
+    for mid, r in rows.items():
+        if r["kind"] == "image":
+            assert (r["width"], r["height"], r["codec"]) == (64, 48, "fake")
+            assert r["payload"] != src[mid]["payload"]
+            assert r["n_bytes"] == len(r["payload"])
+        else:
+            assert r["width"] is None and r["codec"] is None
+            assert bytes(r["payload"]) == bytes(src[mid]["payload"])
+    again = {r["media_id"]: r for r in resize_images(media, 64, 48).collect()}
+    assert all(bytes(again[m]["payload"]) == bytes(rows[m]["payload"]) for m in rows)
+    # narrow: no Exchange in the plan
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sample_frames_count_law_and_determinism(spark):
+    """floor(duration*fps)+1 frames capped at max_frames, t = idx/fps,
+    video rows only; flat-map stays shuffle-free."""
+    from stellar_etl_spark.functions.multimodal import (
+        header_decode,
+        sample_frames,
+    )
+
+    media = synth_media_df(spark, n=40)
+    out = sample_frames(media, fps=0.5, max_frames=8)
+    got = out.collect()
+    assert got, "synth media must contain videos"
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(r)
+    src = {r["media_id"]: r for r in media.collect()}
+    assert all(src[m]["kind"] == "video" for m in by_id)
+    assert set(by_id) == {
+        m for m, r in src.items() if r["kind"] == "video"
+    }
+    for mid, frames in by_id.items():
+        dur = header_decode("video", bytes(src[mid]["payload"]))["duration_sec"]
+        assert len(frames) == min(8, int(dur * 0.5) + 1)
+        for f in sorted(frames, key=lambda x: x["frame_idx"]):
+            assert f["t_sec"] == f["frame_idx"] / 0.5
+            assert f["codec"] == "fake" and len(f["frame_payload"]) == 32
+    again = sorted(map(tuple, sample_frames(media, fps=0.5, max_frames=8).collect()))
+    assert again == sorted(map(tuple, got))
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
 def test_scalar_library(spark):
     df = spark.createDataFrame([(12345678, 3, 4, 0b101)], "v long, n int, d int, flags int")
     row = df.select(
