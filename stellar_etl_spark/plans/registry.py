@@ -1322,26 +1322,124 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def q_tpch_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
-        )
-    )
+# --- LLM corpus: end-to-end training-corpus manifest -------------------------
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-corpus pipeline in one driver-checked relation:
+    quality/language gate -> exact dedup (min id per content fingerprint) ->
+    MinHash near-dup connected-component canonicalization -> deterministic
+    md5 holdout split -> per-split token-offset sequence packing
+    (operators/corpus.py:build_training_corpus). The oracle recomputes every
+    stage independently — gate formula, normalized-text dedup groups, the
+    brute-force exact-Jaccard pair relation + recursive-CTE transitive
+    closure, the md5 split cuts, and the packing prefix sum — so a wrong
+    survivor set, split label, or bin assignment ANYWHERE hash-mismatches.
+    (Exact dedup groups by xxhash64(normalized text) engine-side; the oracle
+    groups by the normalized text itself — identical equivalence classes
+    barring a 64-bit collision.)"""
+    from stellar_etl_spark.operators.corpus import build_training_corpus
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return build_training_corpus(d, min_jaccard=0.4)
 
 
-SQL_TPCH_SEGMENT_REVENUE = """
-SELECT c_mktsegment,
-  CAST(count(*) AS BIGINT) AS n_orders,
-  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_mktsegment
+def _sql_corpus_manifest() -> str:
+    # Split cuts mirror hash_split's float accumulation exactly: repr() embeds
+    # the bit-exact doubles the engine compares u against.
+    weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    cut_train = weights["train"] / total
+    cut_val = cut_train + weights["val"] / total
+    return f"""
+WITH RECURSIVE prof AS (
+  SELECT doc_id,
+    {_SQL_NTOK} AS n_tokens,
+    CAST(length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+      / greatest(length(coalesce(text,'')), 1) AS punct_ratio,
+    CAST(length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '\\p{{Lu}}', '', 'g')) AS DOUBLE)
+      / greatest(length(coalesce(text,'')), 1) AS upper_ratio,
+    CASE WHEN {_SQL_NTOK} > 0 THEN
+      CAST(len(list_intersect(list_transform(regexp_split_to_array(trim(coalesce(text,'')), '\\s+'),
+           x -> lower(x)), [{_sql_all_stopwords()}])) AS DOUBLE) / {_SQL_NTOK}
+    ELSE 0.0 END AS stopword_ratio,
+    {_SQL_NORM} AS nrm
+  FROM documents
+),
+langp AS (
+  SELECT doc_id,
+    list_aggregate([
+      {{'score': {_sql_lang_score('de')}, 'lang': 'de'}},
+      {{'score': {_sql_lang_score('en')}, 'lang': 'en'}},
+      {{'score': {_sql_lang_score('es')}, 'lang': 'es'}},
+      {{'score': {_sql_lang_score('fr')}, 'lang': 'fr'}}
+    ], 'max') AS best
+  FROM documents
+),
+scored AS (
+  SELECT prof.doc_id, n_tokens, nrm,
+    round(
+      least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4
+      + greatest(0.0, 1.0 - punct_ratio * 2 - upper_ratio) * 0.4
+      + least(stopword_ratio * 4, 1.0) * 0.2, 6) AS quality,
+    CASE WHEN best.score >= 1 THEN best.lang ELSE 'und' END AS lang_pred
+  FROM prof JOIN langp ON prof.doc_id = langp.doc_id
+),
+gated AS (SELECT * FROM scored WHERE quality >= 0.3 AND n_tokens > 0),
+exact AS (
+  SELECT doc_id, n_tokens, quality, lang_pred FROM gated
+  QUALIFY row_number() OVER (PARTITION BY nrm ORDER BY doc_id) = 1
+),
+words AS (
+  SELECT d.doc_id, regexp_split_to_array({_SQL_NORM}, ' ') AS w
+  FROM documents d SEMI JOIN exact ON d.doc_id = exact.doc_id
+),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+         ELSE [array_to_string(w[i+1:i+3], ' ') FOR i IN range(0, len(w)-2)] END AS gs
+  FROM words
+),
+sets AS (SELECT doc_id, list_distinct(gs) AS gs FROM grams),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.4
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+noncanon AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING least(u, min(v)) <> u),
+kept AS (
+  SELECT e.*,
+    CAST(('0x' || substring(md5('corpus-v1:' || CAST(e.doc_id AS VARCHAR)), 1, 8))::BIGINT AS BIGINT)
+      / 4294967296.0 AS u
+  FROM exact e ANTI JOIN noncanon ON e.doc_id = noncanon.doc_id
+),
+splits AS (
+  SELECT doc_id, n_tokens, quality, lang_pred,
+    CASE WHEN u < {cut_train!r} THEN 'train'
+         WHEN u < {cut_val!r} THEN 'val'
+         ELSE 'test' END AS split,
+    md5(CAST(doc_id AS VARCHAR)) AS okey,
+    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS BIGINT) % 64 AS bucket
+  FROM kept
+)
+SELECT doc_id, lang_pred, n_tokens, quality, split,
+  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY split ORDER BY bucket, okey, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset,
+  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY split ORDER BY bucket, okey, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS pack_bin
+FROM splits
 """
+
+
+SQL_CORPUS_MANIFEST = _sql_corpus_manifest()
 
 
 # --- J6/T20 timeline union --------------------------------------------------
@@ -2094,6 +2192,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_DUP_CLUSTERS),
+    # end-to-end corpus pipeline (gate/dedup/CC/split/pack in ONE relation);
+    # took the slot of the retired tpch_segment_revenue demo (its broadcast
+    # fact<->dim join stays pinned by star_denorm / test_plans.py J7).
+    "corpus_manifest": (q_corpus_manifest, SQL_CORPUS_MANIFEST),
     # ANN block stays contiguous and INSIDE the driver window (r04 dropped
     # the two non-brute-force entries by appending them at position 51-52)
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
@@ -2102,7 +2204,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "tpch_pricing": (q_tpch_pricing, SQL_TPCH_PRICING),
-    "tpch_segment_revenue": (q_tpch_segment_revenue, SQL_TPCH_SEGMENT_REVENUE),
     "timeline": (q_timeline, SQL_TIMELINE),
     "tool_diffs": (q_tool_diffs, SQL_TOOL_DIFFS),
     "conv_participants": (q_conv_participants, SQL_CONV_PARTICIPANTS),
