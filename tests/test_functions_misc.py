@@ -404,3 +404,106 @@ def test_stratified_sample_exact_counts_and_stability(spark):
     )
     assert ids1 == ids2
     assert s.columns == d.columns
+
+
+def test_mixture_sample_oracle_and_semantics(spark):
+    """Domain-mixture resampling: DuckDB recomputes the per-domain token
+    totals, the rate table (same float arithmetic, repr-embedded like
+    hash_split's cuts), the md5 copy draw and the epoch replication — the
+    full output relation must match cell-exactly. Plus: determinism, the
+    copy-count law (floor(rate) or floor(rate)+1, epochs tile 0..copies-1),
+    expected-token-mass rebalancing, and the planning error cases."""
+    import pytest
+
+    from stellar_etl_spark.functions.sampling import mixture_rates, mixture_sample
+    from tests.oracle_harness import duck_connection, compare
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    # ascending target shares: src0 gets 1/210 of output tokens, src19 gets
+    # 20/210 — rates span ~0.09 (downsample) to ~1.9 (2-epoch replication)
+    weights = {f"src{i}": float(i + 1) for i in range(20)}
+    out = mixture_sample(d, "source", weights, token_col="n_chars")
+
+    duck = duck_connection(sf)
+    try:
+        totals = dict(
+            duck.execute(
+                "SELECT source, sum(n_chars) FROM documents GROUP BY source"
+            ).fetchall()
+        )
+        # same arithmetic as mixture_rates, from independently-queried totals
+        wsum = sum(weights[dm] for dm in totals)
+        t_in = sum(totals.values())
+        rates = {dm: (weights[dm] / wsum) * t_in / totals[dm] for dm in totals}
+        assert mixture_rates(d, "source", weights, token_col="n_chars") == rates
+        assert min(rates.values()) < 0.15 and max(rates.values()) > 1.5
+        rate_case = " ".join(
+            f"WHEN '{dm}' THEN {r!r}" for dm, r in sorted(rates.items())
+        )
+        r = compare(
+            out,
+            duck,
+            f"""
+WITH rated AS (
+  SELECT *,
+    CASE source {rate_case} END AS r,
+    CAST(('0x' || substring(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS BIGINT)
+      / 4294967296.0 AS u
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, text, lang, source, n_chars,
+    CAST(floor(r) AS BIGINT)
+      + (CASE WHEN u < r - floor(r) THEN 1 ELSE 0 END) AS copies
+  FROM rated
+)
+SELECT doc_id, text, lang, source, n_chars,
+  CAST(unnest(generate_series(0, CAST(copies AS BIGINT) - 1)) AS INT) AS epoch
+FROM counted WHERE copies > 0
+""",
+        )
+        assert r["rows_match"] and r["values_match"], r["first_diff"]
+    finally:
+        duck.close()
+
+    rows = out.groupBy("doc_id", "source").agg(
+        F.count("*").alias("copies"),
+        F.max("epoch").alias("max_e"),
+        F.min("epoch").alias("min_e"),
+    ).collect()
+    import math
+
+    for row in rows:
+        rt = rates[row["source"]]
+        assert row["copies"] in (math.floor(rt), math.floor(rt) + 1)
+        assert row["min_e"] == 0 and row["max_e"] == row["copies"] - 1
+    # achieved token mass tracks the target share (exact in expectation;
+    # loose band at 25 docs/domain — the draw itself is pinned by the oracle)
+    got = {
+        r2["source"]: r2["t"]
+        for r2 in out.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()
+    }
+    t_in = sum(totals.values())
+    for dm, t in got.items():
+        if rates[dm] < 0.5:
+            continue  # <13 expected docs at sf0.001 — binomial noise swamps
+        target = (weights[dm] / wsum) * t_in
+        assert abs(t - target) / target < 0.5, (dm, t, target)
+    assert abs(sum(got.values()) - t_in) / t_in < 0.15
+    # deterministic: re-running produces the identical multiset
+    again = mixture_sample(d, "source", weights, token_col="n_chars")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # the data path is narrow: no Exchange anywhere in the executed plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # planning errors: unassigned domain, runaway repeat without clamp
+    with pytest.raises(ValueError, match="not in"):
+        mixture_sample(d, "source", {"src0": 1.0}, token_col="n_chars")
+    lopsided = {f"src{i}": (1000.0 if i == 0 else 0.001) for i in range(20)}
+    with pytest.raises(ValueError, match="max_repeat"):
+        mixture_rates(d, "source", lopsided, token_col="n_chars")
+    clamped = mixture_rates(
+        d, "source", lopsided, token_col="n_chars", clamp=True
+    )
+    assert max(clamped.values()) == 16.0
