@@ -103,12 +103,21 @@ def q_fanout_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellar_etl_spark.operators import extract_effects, extract_units
     from stellar_etl_spark.streaming.pipeline import run_fanout_export
 
+    import os as _os
+
     work = tempfile.mkdtemp(prefix="fanout_q_")
     try:
         src = f"{work}/src"
+        # r6: hash repartition, not coalesce(4) — coalesce collapses the
+        # transcripts derivation (scan + turn_idx window) into 4 tasks for
+        # the WRITE too; 8 hash files write in parallel and give the fan-out
+        # batches an 8-way scan
         write_transcripts(
-            transcripts_from_events(spark, sf_dir).coalesce(4), src, partition_by_day=False
+            transcripts_from_events(spark, sf_dir).repartition(8, F.col("conv_id")),
+            src,
+            partition_by_day=False,
         )
+        n_files = len([f for f in _os.listdir(src) if f.startswith("part-")])
         # the written table carries only the TRANSCRIPTS schema; the
         # SQL-reproducible conv_seq is recoverable from the conv_id format
         # ('conv_%08d' of the same number)
@@ -132,14 +141,19 @@ def q_fanout_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "units": ("conv_id", "turn_idx", "unit_idx"),
                     "effects": ("conv_id", "turn_idx", "effect_index"),
                 },
-                max_files_per_trigger=2,
+                # two micro-batches (the multi-epoch commit path stays
+                # exercised) over the 8 data files
+                max_files_per_trigger=(n_files + 1) // 2,
                 output_partitions=4,
             )
         out = sinks["turns"].read_sink(spark)
-        rows = out.limit(1_000_001).collect()  # bound BEFORE collecting
-        if len(rows) > 1_000_000:
+        # r6: executor-side materialization — the old limit+collect+
+        # createDataFrame moved 10^6 wide rows driver-side through pickle
+        # twice (~15 s at bench scale; guide §5)
+        res = out.localCheckpoint(eager=True)
+        if res.count() > 1_000_000:
             raise RuntimeError("fanout harness is for driver-check scale only")
-        return spark.createDataFrame(rows, out.schema)
+        return res
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -637,16 +651,38 @@ def _run_streaming_query(
     keys: tuple[str, ...],
     drop_flush_on: str = "conv_id",
     output_mode: str = "append",
+    per_conv_flush: bool = False,
+    src_partitions: int = 8,
 ) -> DataFrame:
     """Run a REAL streaming query over the transcripts view and return the
     merged sink contents — the oracle harness for the stateful operators.
 
-    Layout: one coalesced data file + one far-future flush-sentinel file
-    (written strictly later, so the file-stream processes it last), with
-    ``maxFilesPerTrigger=1`` — data batch, sentinel batch (advances the
-    watermark past every pending window/state), then Spark's no-data batch
-    fires the event-time timeouts and the state drains. The result is
-    materialized before the temp dirs are removed."""
+    Layout: ``src_partitions`` hash(conv_id) data files + a far-future
+    flush-sentinel file (written strictly later; the file source orders new
+    files by modification time, so with ``maxFilesPerTrigger = n_data_files``
+    the sentinel is processed last) — data batch, sentinel batch (advances
+    the watermark past every pending window/state), then Spark's no-data
+    batch fires the event-time timeouts and the state drains. r6: the data
+    write is a hash repartition, NOT ``coalesce(1)`` — coalesce collapses
+    the whole transcripts derivation (scan + window) into ONE task (measured
+    7-12 s of serial write at 10^6 turns vs ~3 s parallel), and the multi-
+    file batch also parallelizes the first micro-batch's scan.
+
+    ``per_conv_flush`` writes one far-future ``role='system'`` row PER
+    conversation instead of the single 'flush' row. Only valid for
+    extractors that ignore system rows (the pairs matcher filters roles
+    before buffering, so outputs are bit-identical): every state group then
+    drains through the cheap DATA-path invocation in the sentinel batch and
+    removes its state, instead of through one event-time-TIMEOUT invocation
+    per group — measured ~14 ms per timed-out group vs ~2 ms per data-path
+    group at 15k conversations (the sentinel batch fell 27 s -> ~4 s).
+
+    The result is ``localCheckpoint``-materialized on the executors before
+    the temp dirs are removed — the old collect + createDataFrame round
+    trip moved every row driver-side through pickle twice (~6 s per 200k
+    rows, ~15 s at the 10^6-row bench scale; guide §5 "the driver should do
+    almost no data work")."""
+    import os as _os
     import shutil
     import tempfile
 
@@ -657,30 +693,46 @@ def _run_streaming_query(
     work = tempfile.mkdtemp(prefix="streaming_q_")
     try:
         src = f"{work}/src"
-        write_transcripts(tv.coalesce(1), src, partition_by_day=False)
+        write_transcripts(
+            tv.repartition(src_partitions, F.col("conv_id")), src, partition_by_day=False
+        )
         max_ts = tv.agg(F.max("ts")).collect()[0][0]
-        sentinel = spark.createDataFrame(
-            [("flush", 0, "system", "", None, max_ts)],
-            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
-        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+        n_files = len([f for f in _os.listdir(src) if f.startswith("part-")])
+        if per_conv_flush:
+            sentinel = (
+                tv.select("conv_id")
+                .distinct()
+                .select(
+                    "conv_id",
+                    F.lit(-1).alias("turn_idx"),
+                    F.lit("system").alias("role"),
+                    F.lit("").alias("text"),
+                    F.lit(None).cast("string").alias("tool"),
+                    (F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+                )
+                .coalesce(1)
+            )
+        else:
+            sentinel = spark.createDataFrame(
+                [("flush", 0, "system", "", None, max_ts)],
+                "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+            ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
         sentinel.write.mode("append").parquet(src)
 
         sink = IdempotentSink(f"{work}/out", keys, output_partitions=4)
         with _harness_partitions(spark):
             run_export(spark, src, extractor, sink, f"{work}/ckpt",
-                       max_files_per_trigger=1, output_mode=output_mode)
+                       max_files_per_trigger=n_files, output_mode=output_mode)
         out = sink.read_sink(spark).where(F.col(drop_flush_on) != "flush")
-        # driver-side collect is fine ONLY at this harness's sf0.01
-        # driver-check scale (the temp dirs force materialization before
-        # cleanup). The cap must run BEFORE the unbounded collect — the
-        # limit bounds driver memory even when the sink is huge.
-        rows = out.limit(1_000_001).collect()
-        if len(rows) > 1_000_000:
+        res = out.localCheckpoint(eager=True)
+        # the cap documents this harness's driver-check scale; with the
+        # executor-side materialization it is a count, not a driver collect
+        if res.count() > 1_000_000:
             raise RuntimeError(
-                "streaming harness result exceeds 1M rows — this driver-side "
-                "path is for small-sf correctness checks; use the sink directly"
+                "streaming harness result exceeds 1M rows — this path is for "
+                "small-sf correctness checks; use the sink directly"
             )
-        return spark.createDataFrame(rows, out.schema)
+        return res
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -699,6 +751,11 @@ def q_streaming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         transcripts_from_events(spark, sf_dir),
         lambda s: streaming_pairs(s, "2 minutes", 300),
         ("conv_id", "user_turn_idx"),
+        # the matcher filters to user|response roles before buffering, so the
+        # per-conversation system flush rows are invisible to the output —
+        # they exist to drain each group through the cheap data-path
+        # invocation instead of one ~14 ms timeout invocation per group
+        per_conv_flush=True,
     )
 
 
@@ -1827,10 +1884,17 @@ def q_strkey_handles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (visible as a row-count mismatch)."""
     from stellar_etl_spark.functions.encoding import strkey_decode, strkey_encode
 
+    # asNondeterministic (guide §4.4): without it the optimizer pushes the
+    # round-trip filter BELOW the distinct aggregate, running BOTH chained
+    # Arrow UDFs over every base row instead of every distinct conv_id
+    # (measured 17 s vs <1 s at 10^6 events / 15k convs). The functions are
+    # in fact deterministic, so results are unchanged.
+    enc_nd = strkey_encode.asNondeterministic()
+    dec_nd = strkey_decode.asNondeterministic()
     tv = transcripts_from_events(spark, sf_dir).select("conv_id").distinct()
-    enc = tv.withColumn("handle", strkey_encode(F.col("conv_id")))
+    enc = tv.withColumn("handle", enc_nd(F.col("conv_id")))
     return (
-        enc.withColumn("decoded", strkey_decode(F.col("handle")))
+        enc.withColumn("decoded", dec_nd(F.col("handle")))
         .where(F.col("decoded") == F.col("conv_id"))
         .select("conv_id", "handle")
     )
