@@ -48,6 +48,26 @@ def _seq():
     # lazy: F.col needs an active session in classic mode
     return F.col("conv_seq")
 
+
+def _scaled_read(spark: SparkSession, path: str, key: str) -> DataFrame:
+    """Parquet read that spreads UNSPLITTABLE inputs across the machine.
+
+    A single-row-group parquet file scans as ONE task no matter what
+    ``maxPartitionBytes`` says (splits map to row groups), so every heavy
+    narrow projection stacked on it — regex quality features, shingling,
+    O(dim) vector folds, mapInPandas decoders — runs serially while the
+    other 31 cores idle (guide §2.5 "input skew ... one huge unsplittable
+    file: repartition immediately after the read"). When the scan has fewer
+    partitions than half the cores, add ONE deterministic hash exchange on
+    the table key (a few MB of raw rows — measured 10.4 -> 2.5 s on
+    doc_quality at sf1.0). At real scale inputs arrive as many
+    files/row-groups, the gate never fires, and the plan is unchanged."""
+    df = spark.read.parquet(path)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(par // 2, 2):
+        df = df.repartition(par, F.col(key))
+    return df
+
 # Reusable DuckDB fragments mirroring the engine's column functions.
 _SQL_NTOK = (
     "CAST(CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
@@ -697,6 +717,11 @@ def _run_streaming_query(
             tv.repartition(src_partitions, F.col("conv_id")), src, partition_by_day=False
         )
         max_ts = tv.agg(F.max("ts")).collect()[0][0]
+        # State partitions stay at the _harness_partitions default (8): the
+        # scale-adaptive alternative (32 at 10^6 rows) was MEASURED SLOWER —
+        # 46->55 s (pairs), 20->26 s (conv_state), 19->23 s (join) at sf1.0 —
+        # per-partition state-store/commit fixed cost beats the extra
+        # parallelism at every scale this harness runs at.
         n_files = len([f for f in _os.listdir(src) if f.startswith("part-")])
         if per_conv_flush:
             sentinel = (
@@ -1057,7 +1082,7 @@ def _sql_lang_score(lang: str) -> str:
 # documents scan instead of three). lang/n_chars come from the token-stats
 # half; lang_pred is the stopword-overlap argmax.
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _scaled_read(spark, f"{sf_dir}/documents.parquet", "doc_id")
     feats = textfn.quality_features(F.col("text"))
     base = d.select(
         "doc_id",
@@ -1143,7 +1168,7 @@ JOIN langp USING (doc_id)
 
 # --- documents: exact-dup grouping -----------------------------------------
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _scaled_read(spark, f"{sf_dir}/documents.parquet", "doc_id")
     return (
         d.select("doc_id", textfn.normalized(F.col("text")).alias("norm"))
         .groupBy("norm")
@@ -1175,7 +1200,7 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _scaled_read(spark, f"{sf_dir}/documents.parquet", "doc_id")
     pairs = minhash_candidate_pairs(d, min_jaccard=0.4)
     cc = connected_components(pairs, "id_a", "id_b")
     return cc.select(
@@ -1222,7 +1247,7 @@ FROM lbl
 
 # --- embeddings: brute-force cosine top-k ----------------------------------
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _scaled_read(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
     queries = emb.where(F.col("vec_id") < 5)
     out = cosine_topk(emb, queries, k=10)
     # sim is recomputed per engine in floating point; rank is the contract.
@@ -1252,7 +1277,7 @@ WHERE rank <= 10
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellar_etl_spark.functions.similarity import embedding_near_dups
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _scaled_read(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
     return embedding_near_dups(emb, min_sim=0.5).select("id_a", "id_b")
 
 
@@ -1279,7 +1304,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``decoder=``)."""
     from stellar_etl_spark.functions.multimodal import extract_media_features
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _scaled_read(spark, f"{sf_dir}/documents.parquet", "doc_id")
     is_img = F.pmod(F.col("doc_id"), F.lit(3)) == 0
     w = (F.lit(16) + F.pmod(F.col("doc_id"), F.lit(512))).cast("int")
     h = (F.lit(16) + F.pmod(F.floor(F.col("doc_id") / F.lit(7)), F.lit(512))).cast("int")
@@ -1395,7 +1420,7 @@ def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     barring a 64-bit collision.)"""
     from stellar_etl_spark.operators.corpus import build_training_corpus
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _scaled_read(spark, f"{sf_dir}/documents.parquet", "doc_id")
     return build_training_corpus(d, min_jaccard=0.4)
 
 
@@ -1788,7 +1813,7 @@ def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hash mismatch would surface any LSH recall miss as a hard failure."""
     from stellar_etl_spark.functions.dedup import minhash_candidate_pairs
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _scaled_read(spark, f"{sf_dir}/documents.parquet", "doc_id")
     return minhash_candidate_pairs(d, min_jaccard=0.4)
 
 
@@ -1824,7 +1849,7 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/dedup.py:simhash_near_dups) is the scale-default."""
     from stellar_etl_spark.functions.dedup import simhash_near_dups_portable
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _scaled_read(spark, f"{sf_dir}/documents.parquet", "doc_id")
     return simhash_near_dups_portable(d, max_hamming=3, k=3)
 
 
@@ -1938,7 +1963,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probing, and ranking are all hash-checked (not just recall-sampled)."""
     from stellar_etl_spark.functions.similarity import lsh_topk_portable
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _scaled_read(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
     out = lsh_topk_portable(
         emb, emb.where(F.col("vec_id") < 5), dim=64, k=10, bits=8, probe_hamming=1
     )
@@ -1953,7 +1978,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are hash-checked."""
     from stellar_etl_spark.functions.similarity import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _scaled_read(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
     out = ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_lists=16, n_probe=4)
     return out.select("query_id", "rank", "neighbor_id")
 
