@@ -452,6 +452,8 @@ def connected_components(
             e.unpersist()  # the returned labels depend only on `upd`
             return labels.select("id", F.col("lbl").alias("cluster_id"))
     e.unpersist()
+    if prev is not None:
+        prev.unpersist()  # the last round's checkpoint is dead on the raise path too
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
         "component diameter exceeds the bound; raise max_iters"

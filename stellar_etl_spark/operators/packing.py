@@ -34,20 +34,27 @@ def sequence_pack_bins(
     target_tokens: int = 2048,
     buckets: int = 64,
     group_col: str | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id_col[, group_col], token_col, token_offset, pack_bin): deterministic
-    token-budget bin per document. ``token_offset`` is the document's
-    exclusive start offset on the global token axis; ``pack_bin =
-    token_offset // target_tokens``. With ``group_col`` (e.g. a train/val
+    """(id_col[, group_col], *carry_cols, token_col, token_offset, pack_bin):
+    deterministic token-budget bin per document. ``token_offset`` is the
+    document's exclusive start offset on the global token axis; ``pack_bin =
+    token_offset DIV target_tokens``. With ``group_col`` (e.g. a train/val
     split label), the token axis restarts per group, so bins never mix
     groups — the prefix window is then over ``groups x buckets`` rows,
-    still constant-size."""
+    still constant-size. ``carry_cols`` are per-document passthrough columns
+    that ride the phase-1 bucket shuffle unchanged — callers that need them
+    downstream (the corpus manifest) previously had to JOIN the packed
+    output back to its own input, recomputing the entire upstream lineage a
+    second time."""
     grp = [group_col] if group_col else []
+    carry = [c for c in carry_cols]
     okey = F.md5(F.col(id_col).cast("string"))
     bucket = F.conv(F.substring(okey, 1, 4), 16, 10).cast("long") % buckets
     t = df.select(
         F.col(id_col),
         *grp,
+        *carry,
         F.col(token_col).cast("long").alias(token_col),
         okey.alias("_okey"),
         bucket.alias("_bucket"),
@@ -73,10 +80,14 @@ def sequence_pack_bins(
     )
     out = local.join(F.broadcast(prefixes), [*grp, "_bucket"])
     offset = F.col("_boff") + F.col("_lc") - F.col(token_col)
+    # integer DIV, not floor(double /): double division diverges from the
+    # oracle's integer `//` once a split's token axis exceeds 2^53
     return out.select(
         id_col,
         *grp,
+        *carry,
         token_col,
         offset.alias("token_offset"),
-        F.floor(offset / target_tokens).cast("long").alias("pack_bin"),
+    ).withColumn(
+        "pack_bin", F.expr(f"token_offset DIV {int(target_tokens)}L")
     )
