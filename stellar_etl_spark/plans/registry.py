@@ -130,10 +130,13 @@ def q_fanout_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = f"{work}/src"
         # r6: hash repartition, not coalesce(4) — coalesce collapses the
         # transcripts derivation (scan + turn_idx window) into 4 tasks for
-        # the WRITE too; 8 hash files write in parallel and give the fan-out
-        # batches an 8-way scan
+        # the WRITE too. 32 files because the sink's output coalesce bounds
+        # each micro-batch's WHOLE extractor computation at
+        # min(batch_files, output_partitions) tasks (coalesce propagates up
+        # to the scan): 8f/out4 ran the three extractors 4-wide (19.7 s
+        # stream at sf1.0), 32f/out16 runs them 16-wide (7.8 s).
         write_transcripts(
-            transcripts_from_events(spark, sf_dir).repartition(8, F.col("conv_id")),
+            transcripts_from_events(spark, sf_dir).repartition(32, F.col("conv_id")),
             src,
             partition_by_day=False,
         )
@@ -162,9 +165,9 @@ def q_fanout_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "effects": ("conv_id", "turn_idx", "effect_index"),
                 },
                 # two micro-batches (the multi-epoch commit path stays
-                # exercised) over the 8 data files
+                # exercised) over the data files
                 max_files_per_trigger=(n_files + 1) // 2,
-                output_partitions=4,
+                output_partitions=16,
             )
         out = sinks["turns"].read_sink(spark)
         # r6: executor-side materialization — the old limit+collect+
