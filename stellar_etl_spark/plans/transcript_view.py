@@ -34,6 +34,17 @@ def ensure_utc(spark: SparkSession) -> None:
 def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Spread unsplittable inputs (guide §2.5): a single-row-group events file
+    # scans as ONE task, so everything narrow above it — the turn projection,
+    # token explodes in window-pruning queries like conv_token_kmv, partial
+    # aggregations — ran serially. Hash(user_id) at the session's shuffle
+    # partitioning means the turn_idx window below REUSES this exchange
+    # (same key, same count: zero extra shuffles for window consumers),
+    # while consumers that prune the window get parallel rows. At real
+    # scale the scan has many splits and the gate never fires.
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if ev.rdd.getNumPartitions() < max(par // 2, 2):
+        ev = ev.repartition(par, F.col("user_id"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     role = (
         F.when(F.col("event_type") == "click", F.lit("user"))
