@@ -148,6 +148,14 @@ def minhash_candidate_pairs(
     the band-key equi-join + the verify joins — text payload moves only for
     verified candidates, never through the LSH."""
     rows = num_perm // bands
+    # NOTE (r6 negative result, measured): rewriting this as ONE wide
+    # groupBy(id) with num_perm min(xxhash64(p, sh)) aggregate columns —
+    # "avoid the num_perm-fold explode" — ran 2.5x SLOWER at sf1.0
+    # (doc_minhash_pairs 5.5 -> 14.1 s): 32 aggregation buffers each with
+    # an embedded xxhash64 blow past what the hash-aggregate codegen
+    # handles, while the row form's explode + 2-level partial aggregation
+    # is fully codegen'd and its shuffle already carries only num_perm rows
+    # per doc. Keep the row form.
     mins = minhash_signature_rows(shingle_hash_rows(df, text_col, id_col, k), num_perm)
     banded = (
         mins.withColumn("band", (F.col("p") / rows).cast("int"))
