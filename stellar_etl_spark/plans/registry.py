@@ -658,13 +658,30 @@ def _harness_partitions(spark: SparkSession, n: int = 8):
     clock (~64 s combined at sf0.1, VERDICT r4 #6). The operators' semantics
     are partition-count independent (pinned by the batch-size-independence
     tests), so 8 partitions buys the same green rows ~4x cheaper. Fresh
-    checkpoints each run, so the state-partition count never conflicts."""
+    checkpoints each run, so the state-partition count never conflicts.
+
+    r6: the harness also runs on the HEAP-BACKED state store. The session
+    default stays RocksDB — mandatory where streaming state exceeds the
+    heap (the 10^12-turn production paths, bench.py's own streaming
+    section) — but this harness hard-caps its result at 1M rows, so its
+    state (<=15k conversation keys / <=1M buffered join rows) always fits
+    on-heap, and RocksDB's per-batch changelog+commit machinery is pure
+    overhead at that size: measured at sf1.0, pairs 48 -> 35 s,
+    stream-stream join 17 -> 7 s, sessions 10 -> 7 s, conv_state flat.
+    Same scale-dependent-parameter class as the partition shrink; both
+    restore on exit."""
+    _HEAP_STORE = (
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    )
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_store = spark.conf.get("spark.sql.streaming.stateStore.providerClass", _HEAP_STORE)
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", _HEAP_STORE)
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", old_store)
 
 
 def _run_streaming_query(
