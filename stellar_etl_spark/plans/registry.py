@@ -1213,7 +1213,18 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation (functions/dedup.py:connected_components), O(diameter)
     rounds of join+min-agg; the oracle recomputes the exact-Jaccard pair
     relation and its transitive closure with a recursive CTE, so a wrong
-    component ANYWHERE hash-mismatches."""
+    component ANYWHERE hash-mismatches.
+
+    DATA-DEPENDENCE NOTE (r5 ADVICE, do not mistake for an engine bug):
+    the oracle brute-forces ALL pairs with exact jaccard >= 0.4, while the
+    Spark side emits LSH-candidate-verified pairs. At 32 perms / 8 bands
+    (r=4) a pair at j=0.4 becomes an LSH candidate with only ~19%
+    probability — parity is green because the generator's similarity
+    distribution is bimodal (true near-dups sit well above the S-curve
+    knee). If a future generator change plants borderline-jaccard pairs,
+    THIS row (and corpus_manifest) will hash-mismatch by construction;
+    the fix would be raising min_jaccard into the high-recall region in a
+    BUILD round (the oracle text is frozen during optimization rounds)."""
     from stellar_etl_spark.functions.dedup import (
         connected_components,
         minhash_candidate_pairs,
