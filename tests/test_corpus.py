@@ -120,9 +120,6 @@ def test_write_training_shards_range_partitioned(spark, tmp_path):
             F.lit(0).cast("long").alias("pack_bin"),
         )
     )
-    import io
-    from contextlib import redirect_stdout
-
     # capture the executed write plan via explain on the pre-write frame
     joined = m.join(d.select("doc_id", "text"), "doc_id")
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
